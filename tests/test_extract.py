@@ -1,0 +1,231 @@
+"""Extraction byte-identity + robots + sitemap + identifier kernels."""
+
+import json
+
+import pytest
+
+from gleaner_spark.core import extract as ex
+from gleaner_spark.core import identifier as ident
+from gleaner_spark.core import robots as rb
+from gleaner_spark.core import sitemap as sm
+from gleaner_spark.core.prov import org_jsonld, org_nquads, prov_graph
+
+DOC = '{"@context":{"@vocab":"https://schema.org/"},"@type":"Dataset","name":"x"}'
+DOC2 = '{"@context":{"@vocab":"https://schema.org/"},"@type":"Dataset","name":"y"}'
+
+
+class TestExtraction:
+    def test_single_script(self):
+        html = f'<html><head><script type="application/ld+json">{DOC}</script></head><body>hi</body></html>'
+        assert ex.find_jsonld_in_page("https://x.test/a", "text/html", html) == [DOC]
+
+    def test_two_scripts_doc_order(self):
+        html = (
+            f'<html><body><script type="application/ld+json">{DOC}</script>'
+            f'<p>mid</p><script type="application/ld+json">{DOC2}</script></body></html>'
+        )
+        assert ex.find_jsonld_in_page("https://x.test/a", "text/html", html) == [DOC, DOC2]
+
+    def test_prefix_match_charset_variant(self):
+        # selector is script[type^='application/ld+json'] (acquire.go:252)
+        html = f'<script type="application/ld+json;charset=utf-8">{DOC}</script>'
+        assert ex.find_jsonld_in_page("https://x.test/a", "text/html", html) == [DOC]
+
+    def test_non_matching_script_ignored(self):
+        html = f'<script type="text/javascript">var x=1;</script><script type="application/ld+json">{DOC}</script>'
+        assert ex.find_jsonld_in_page("https://x.test/a", "text/html", html) == [DOC]
+
+    def test_zero_scripts(self):
+        assert ex.find_jsonld_in_page("https://x.test/a", "text/html", "<html><body>none</body></html>") == []
+
+    def test_whole_body_for_json_content_type(self):
+        assert ex.find_jsonld_in_page("https://x.test/a", "application/ld+json", DOC) == [DOC]
+        assert ex.find_jsonld_in_page("https://x.test/a", "application/json; charset=utf-8", DOC) == [DOC]
+
+    def test_whole_body_for_json_extension(self):
+        assert ex.find_jsonld_in_page("https://x.test/a.jsonld", "text/html", DOC) == [DOC]
+        assert ex.find_jsonld_in_page("https://x.test/a.json?q=1", "text/html", DOC) == [DOC]
+
+    def test_invalid_json_dropped(self):
+        bad = open("/root/reference/testHelpers/sampleConfigs/badjsonld.jsonld").read()
+        html = f'<script type="application/ld+json">{bad}</script>'
+        assert ex.find_jsonld_in_page("https://x.test/a", "text/html", html) == []
+
+    def test_byte_identity_exotic_whitespace(self):
+        # script content is CDATA: bytes must round-trip exactly
+        exotic = '\n\t {"@context":  {"@vocab":"https://schema.org/"} ,\r\n "@type":"Dataset","name":"a  b"}\n '
+        html = f'<script type="application/ld+json">{exotic}</script>'
+        got = ex.find_jsonld_in_page("https://x.test/a", "text/html", html)
+        assert got == [exotic]
+
+    def test_mainstem_fixture_byte_identity(self):
+        doc = open("/root/reference/testHelpers/sampleConfigs/mainstem35394ButEdited.jsonld").read()
+        html = f'<html><head><script type="application/ld+json">{doc}</script></head></html>'
+        got = ex.find_jsonld_in_page("https://x.test/m", "text/html", html)
+        assert got == [doc]
+
+    def test_graph_array_split(self):
+        arr = f"[{DOC},{DOC2}]"
+        html = f'<script type="application/ld+json">{arr}</script>'
+        got = ex.find_jsonld_in_page("https://x.test/a", "text/html", html)
+        # elements (Go-marshalled) + the raw array text
+        assert got[-1] == arr
+        assert len(got) == 3
+        assert json.loads(got[0])["name"] == "x"
+
+    def test_text_fallback(self):
+        assert ex.extract_from_text_fallback(DOC) == [DOC]
+        assert ex.extract_from_text_fallback("") == []
+
+
+ROBOTS_FIXTURE = """User-agent: *
+Disallow: /cgi-bin
+Disallow: /forms
+Disallow: /api/gi-cat
+Disallow: /rocs/archives-catalog
+Crawl-delay: 10
+"""
+
+
+class TestRobots:
+    def test_parse_and_group(self):
+        data = rb.parse_robots_txt(ROBOTS_FIXTURE)
+        g = data.find_group(ex.EARTHCUBE_AGENT)
+        assert g is not None
+        assert g.crawl_delay == 10.0
+
+    def test_disallow(self):
+        g = rb.parse_robots_txt(ROBOTS_FIXTURE).find_group(ex.EARTHCUBE_AGENT)
+        assert not g.test("/cgi-bin/foo")
+        assert not g.test("https://example.com/forms")
+        assert g.test("/ok/path")
+        assert g.test("https://example.com/data/x.jsonld")
+
+    def test_agent_specific_group(self):
+        body = "User-agent: EarthCube_DataBot\nDisallow: /private\n\nUser-agent: *\nDisallow: /everything\n"
+        data = rb.parse_robots_txt(body)
+        g = data.find_group("EarthCube_DataBot/1.0")
+        assert not g.test("/private/x")
+        assert g.test("/everything")  # agent group overrides *
+
+    def test_allow_wins_tie_and_longest_wins(self):
+        body = "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+        g = rb.parse_robots_txt(body).find_group("anybot")
+        assert not g.test("/a/c")
+        assert g.test("/a/b/c")
+
+    def test_wildcards(self):
+        body = "User-agent: *\nDisallow: /*.pdf$\n"
+        g = rb.parse_robots_txt(body).find_group("anybot")
+        assert not g.test("/docs/file.pdf")
+        assert g.test("/docs/file.pdf.html")
+
+    def test_sitemaps_collected(self):
+        body = "Sitemap: https://x.test/sitemap.xml\nUser-agent: *\nDisallow:\n"
+        data = rb.parse_robots_txt(body)
+        assert data.sitemaps == ["https://x.test/sitemap.xml"]
+
+    def test_no_robots_allows(self):
+        assert rb.robots_allowed("https://x.test/a", None, ex.EARTHCUBE_AGENT)
+
+    def test_crawl_delay_units_quirk(self):
+        # resources_test.go:76-82 pins max(10 seconds, 1 ms-unit) == 10
+        assert rb.resolve_crawl_delay_ms(10.0, 1) == 10
+        assert rb.resolve_crawl_delay_ms(None, 5000) == 5000
+
+
+class TestSitemap:
+    def test_reference_fixture_parse(self):
+        xml = open("/root/reference/testHelpers/sampleConfigs/mainstemSitemapWithoutMost.xml").read()
+        urls = sm.parse_sitemap(xml)
+        assert len(urls) > 0
+        assert all(u.loc.startswith("http") for u in urls)
+        # order preserved = document order
+        xml_order = [u.loc for u in urls]
+        assert xml_order == sorted(xml_order, key=xml_order.index)
+
+    def test_index_fixture(self):
+        xml = open("/root/reference/testHelpers/sampleConfigs/sitemapIndex.xml").read()
+        subs = sm.parse_sitemap_index(xml)
+        assert len(subs) > 0
+
+    def test_urlset_is_not_index(self):
+        xml = open("/root/reference/testHelpers/sampleConfigs/mainstemSitemapWithoutMost.xml").read()
+        assert sm.parse_sitemap_index(xml) == []
+
+    def test_normalize_loc(self):
+        assert sm.normalize_loc("  https://x.test/a b\nc  ") == "https://x.test/abc"
+
+    def test_malformed_raises(self):
+        with pytest.raises(sm.SitemapParseError):
+            sm.parse_sitemap("<urlset><url><loc>x</loc>")
+
+
+class TestIdentifier:
+    def test_file_sha(self):
+        i = ident.generate_file_sha("hello")
+        assert i.unique_id == "aaf4c61ddcc5e8a2dabede0f3b482cd9aea9434d"
+        assert i.identifier_type == "jsonsha"
+
+    def test_jsonpath_sorted(self):
+        doc = '{"identifier": ["b", "a", "c"]}'
+        assert ident.get_identifier_by_path("$.identifier[*]", doc) == ["a", "b", "c"]
+
+    def test_jsonpath_object_value(self):
+        doc = open("/root/reference/internal/common/testdata/identifier/jsonIdentifierObjectPath.json").read()
+        got, path = ident.get_identifier_by_paths(
+            ["$.identifier.value", "$.identifier"], doc
+        )
+        assert got  # non-empty match from the first matching path
+        assert path == "$.identifier.value"
+
+    def test_paths_fallthrough(self):
+        doc = '{"identifier": "plain-string"}'
+        got, path = ident.get_identifier_by_paths(
+            ["$.identifier.value", "$.identifier"], doc
+        )
+        assert got == ["plain-string"]
+        assert path == "$.identifier"
+
+    def test_no_match(self):
+        got, path = ident.get_identifier_by_paths(["$.nope"], "{}")
+        assert got == [] and path == ""
+
+    def test_generate_identifier_dispatch(self):
+        doc = '{"identifier": "abc"}'
+        i = ident.generate_identifier("identifiersha", ["$.identifier"], doc)
+        assert i.identifier_type == "identifiersha"
+        assert i.matched_string == "abc"
+        assert i.unique_id == ident.get_sha("abc")
+        j = ident.generate_identifier("jsonsha", [], doc)
+        assert j.unique_id == ident.get_sha(doc)
+
+
+class TestProvOrg:
+    def test_prov_graph_deterministic(self):
+        doc, psha, urn = prov_graph(
+            "gleaner", "src1", "f" * 40, "https://x.test/a",
+            pid="https://pid.test/1", pname="Proper", domain="https://x.test",
+            date="2024-01-01",
+        )
+        assert urn == "urn:gleaner:src1:" + "f" * 40
+        parsed = json.loads(doc)
+        assert parsed["@graph"][0]["@type"] == "prov:Organization"
+        doc2, psha2, _ = prov_graph(
+            "gleaner", "src1", "f" * 40, "https://x.test/a",
+            pid="https://pid.test/1", pname="Proper", domain="https://x.test",
+            date="2024-01-01",
+        )
+        assert psha == psha2
+
+    def test_org_requires_fields(self):
+        with pytest.raises(ValueError):
+            org_jsonld("", "https://x.test", "pid")
+        with pytest.raises(ValueError):
+            org_jsonld("name", "https://x.test", "")
+
+    def test_org_nquads_shape(self):
+        nq = org_nquads("src1", "https://x.test", "https://pid.test/1")
+        lines = [l for l in nq.strip().split("\n") if l]
+        assert all(l.endswith(" .") for l in lines)
+        assert any("https://gleaner.io/id/org/src1" in l for l in lines)
