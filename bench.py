@@ -1,0 +1,114 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the harvest pipeline (frontier → fetch ⋈ pages → extract →
+fixups → dedup → write) over a deterministic corpus matching the sf
+tier, timed end-to-end (session startup + corpus generation excluded);
+plus the analytics suite over $SPARK_GRAFT_SF_DIR tables.
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  BENCH_HARVEST_PAGES (override corpus size)
+  BENCH_CORPUS_DIR    (reuse a pre-generated corpus parquet)
+  BENCH_HARVEST_ONLY  (=1: skip the analytics suite; for scaling runs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_pages = int(os.environ.get("BENCH_HARVEST_PAGES", str(int(sf * 200_000))))
+    harvest_only = os.environ.get("BENCH_HARVEST_ONLY") == "1"
+
+    from gleaner_spark.session import build_session
+
+    spark = build_session("gleaner-bench", master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---------------- harvest headline ----------------
+    from gleaner_spark.plans.lake import Lake
+    from gleaner_spark.plans.pipeline import run_harvest
+    from gleaner_spark.sources import corpus
+
+    corpus_dir = os.environ.get("BENCH_CORPUS_DIR")
+    if corpus_dir and os.path.isdir(corpus_dir):
+        pages = spark.read.parquet(corpus_dir)
+    else:
+        pages = corpus.build_pages(spark, n_pages, partitions=max(cpus * 2, 16))
+        tmp_corpus = tempfile.mkdtemp(prefix="gleaner-bench-corpus-")
+        pages.write.mode("overwrite").parquet(tmp_corpus)
+        pages = spark.read.parquet(tmp_corpus)
+    sitemaps = corpus.build_sitemaps(n_pages)
+    robots = corpus.build_robots()
+    sources = corpus.build_sources()
+
+    lake_dir = tempfile.mkdtemp(prefix="gleaner-bench-lake-")
+    t0 = time.time()
+    res = run_harvest(
+        spark, Lake(lake_dir), sources, pages, sitemaps, robots,
+        run_id="bench", run_date="2024-01-01",
+    )
+    harvest_s = time.time() - t0
+    timings["harvest"] = round(harvest_s, 3)
+    work_units = res.fetched + res.extracted  # URLs fetched + docs extracted
+    extra["harvest_pages"] = n_pages
+    extra["harvest_fetched"] = res.fetched
+    extra["harvest_docs"] = res.extracted
+    extra["docs_per_sec"] = round(work_units / harvest_s, 1)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+
+    # ---------------- analytics suite ----------------
+    if not harvest_only:
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        suite = [
+            "tpch_pricing", "fetch_join", "events_sessionize", "events_tumbling",
+            "dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash",
+            "embedding_neardup", "ann_topk", "ann_lsh",
+            "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+            "politeness_window", "dedup_antijoin", "metrics_agg",
+        ]
+        for name in suite:
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "harvest+analytics suite wall time (docs_per_sec = URLs fetched + JSON-LD docs extracted per second in the harvest phase)",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extra,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,254 @@
+"""Unit tests for the training-data operators + politeness pacing +
+sketch + streaming plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today", "en"),
+        (1, "the quick brown fox jumps over the lazy dog today", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today", "en"),  # near dup
+        (3, "der schnelle braune fuchs springt und das ist gut so", "de"),
+        (4, "completely different content about spark partitions and shuffles", "en"),
+        (5, "the quick brown fox jumps over the lazy dog yesterday", "en"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        from gleaner_spark.operators.dedup import exact_duplicates
+
+        got = exact_duplicates(docs).collect()
+        assert len(got) == 1
+        assert got[0]["keeper_id"] == 0 and got[0]["n_dups"] == 2
+
+    def test_ngram_jaccard(self, docs):
+        from gleaner_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(docs, threshold_pct=60).collect()
+        }
+        assert (0, 1) in pairs  # identical
+        assert (0, 2) in pairs or (0, 5) in pairs  # near dups
+        assert not any(4 in p for p in pairs)
+
+    def test_minhash_lsh_finds_exact_pair(self, docs):
+        from gleaner_spark.operators.dedup import minhash_lsh_dedup
+
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_dedup(docs, threshold_pct=90).collect()
+        }
+        assert (0, 1) in pairs
+        assert not any(4 in p or 3 in p for p in pairs)
+
+    def test_simhash_identical_docs_collide(self, docs):
+        from gleaner_spark.operators.dedup import simhash
+
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[4]
+        # near-dup → small hamming distance
+        ham = bin(sigs[0] ^ sigs[2]).count("1")
+        assert ham <= 8
+
+    def test_embedding_neardup(self, spark):
+        from gleaner_spark.operators.dedup import embedding_near_duplicates
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.04, 0.0]),  # near dup of 0
+            (2, [0.0, 1.0, 0.0]),
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(e, threshold=0.95).collect()}
+        assert pairs == {(0, 1)}
+
+
+class TestANN:
+    def test_brute_force_matches_manual(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(30, 8).astype("float32")
+        rows = [(i, vecs[i].tolist()) for i in range(30)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        from gleaner_spark.operators.ann import brute_force_topk
+
+        got = brute_force_topk(e, e.filter(F.col("vec_id") < 3), k=2).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r["nbr_id"])
+        # numpy oracle
+        def cos(a, b):
+            a, b = a.astype("float64"), b.astype("float64")
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        for qid in range(3):
+            sims = sorted(
+                ((cos(vecs[qid], vecs[j]), -j) for j in range(30) if j != qid),
+                reverse=True,
+            )
+            expected = [-s[1] for s in sims[:2]]
+            assert by_q[qid] == expected
+
+    def test_lsh_recall_vs_brute_force(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(40, 16).astype("float32")
+        # plant near-dups so top-1 is meaningful
+        base[20:25] = base[:5] + rng.randn(5, 16).astype("float32") * 0.05
+        rows = [(i, base[i].tolist()) for i in range(40)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        from gleaner_spark.operators.ann import brute_force_topk, lsh_topk
+
+        bf = {
+            r["query_id"]: r["nbr_id"]
+            for r in brute_force_topk(e, e, k=1).collect()
+        }
+        lsh = {
+            r["query_id"]: r["nbr_id"]
+            for r in lsh_topk(e, k=1, n_planes=4, dim=16).collect()
+        }
+        planted = list(range(5)) + list(range(20, 25))
+        hits = sum(1 for q in planted if lsh.get(q) == bf[q])
+        assert hits >= 6  # LSH recalls most planted near-dups
+
+
+class TestTextOps:
+    def test_langid(self, docs):
+        from gleaner_spark.operators.textops import language_id
+
+        got = {r["doc_id"]: r["predicted_lang"] for r in language_id(docs).collect()}
+        assert got[0] == "en" and got[3] == "de"
+
+    def test_quality_and_tokens(self, docs):
+        from gleaner_spark.operators.textops import quality_scores, token_stats
+
+        q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+        assert q[0]["q_tokens"] == 10
+        assert q[0]["q_stopwords"] >= 2
+        t = {r["doc_id"]: r for r in token_stats(docs).collect()}
+        assert t[0]["n_tokens"] == 10
+        assert t[0]["n_distinct_tokens"] == 9  # 'the' twice
+
+    def test_fingerprint_deterministic(self, docs, spark):
+        from gleaner_spark.operators.textops import fingerprints
+
+        f1 = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+        f2 = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+        assert f1 == f2
+        assert f1[0] == f1[1] and f1[0] != f1[4]
+
+
+class TestSketch:
+    def test_bloom_roundtrip(self, spark):
+        from gleaner_spark.operators.sketch import BloomSketch, build_bloom, might_contain_udf
+
+        df = spark.range(0, 500).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+        sk = build_bloom(df, "k", expected=500, fpp=0.01)
+        assert all(sk.might_contain(f"key-{i}") for i in range(500))
+        fp = sum(1 for i in range(500, 2500) if sk.might_contain(f"key-{i}"))
+        assert fp < 100  # ~1% fpp target, generous bound
+        # serialization roundtrip
+        sk2 = BloomSketch.from_bytes(sk.to_bytes())
+        assert sk2.might_contain("key-42") and sk2.k == sk.k
+        # vectorized UDF path
+        udf = might_contain_udf(spark, sk)
+        got = (
+            spark.range(0, 1000)
+            .select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+            .withColumn("m", udf(F.col("k")))
+            .groupBy("m").count().collect()
+        )
+        counts = {r["m"]: r["count"] for r in got}
+        assert counts[True] >= 500
+
+
+class TestPoliteness:
+    def test_pace_group_sequential_with_delay(self):
+        from gleaner_spark.operators.politeness import pace_group
+
+        rows = [
+            {"url": f"u{i}", "position": i, "delay_ms": 100} for i in (3, 1, 2)
+        ]
+        clock = {"t": 0}
+        fetched = pace_group(
+            rows,
+            now_ms=lambda: clock["t"],
+            sleep_ms=lambda ms: clock.__setitem__("t", clock["t"] + ms),
+            fetch=lambda u: b"ok",
+        )
+        assert [r["position"] for r in fetched] == [1, 2, 3]
+        assert [r["fetched_at_ms"] for r in fetched] == [0, 100, 200]
+
+    def test_paced_fetch_dataframe(self, spark):
+        from gleaner_spark.operators.politeness import paced_fetch
+
+        rows = [
+            ("s", "h1", f"https://h1/{i}", i, 50) for i in range(5)
+        ] + [("s", "h2", f"https://h2/{i}", i, 0) for i in range(3)]
+        fr = spark.createDataFrame(
+            rows, "source_name string, host string, url string, position long, delay_ms long"
+        )
+        got = paced_fetch(fr, fetch=lambda u: u.encode(), simulate=True).collect()
+        h1 = sorted((r["position"], r["fetched_at_ms"]) for r in got if r["host"] == "h1")
+        assert [t for _, t in h1] == [0, 50, 100, 150, 200]
+        assert all(r["ok"] for r in got)
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from gleaner_spark.operators.multimodal import (
+            FEATURE_DIM, extract_features, frame_sample_plan, synthetic_media,
+        )
+
+        media = synthetic_media(spark, 30)
+        feats = extract_features(media).collect()
+        assert len(feats) == 30
+        assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
+        assert all(len(r["payload_sha"]) == 40 for r in feats)
+        # deterministic
+        feats2 = extract_features(media).collect()
+        assert {r["media_id"]: r["feature"] for r in feats} == {
+            r["media_id"]: r["feature"] for r in feats2
+        }
+        plan = frame_sample_plan(media, every_ms=1000)
+        row = plan.groupBy("media_id").count().collect()
+        assert row  # videos produce frame rows
+
+
+class TestStreaming:
+    def test_incremental_harvest_available_now(self, spark, tmp_lake):
+        import os
+        import tempfile
+
+        from gleaner_spark.plans.lake import Lake
+        from gleaner_spark.sources import corpus
+        from gleaner_spark.streaming.incremental import incremental_harvest
+
+        stream_dir = tempfile.mkdtemp(prefix="gleaner-stream-")
+        ckpt = tempfile.mkdtemp(prefix="gleaner-ckpt-")
+        corpus.build_pages(spark, 40, partitions=2).write.mode("append").parquet(stream_dir)
+        lake = Lake(tmp_lake)
+        q = incremental_harvest(
+            spark, lake, corpus.build_sources(), stream_dir, ckpt
+        )
+        q.awaitTermination(120)
+        docs = lake.table("documents").read(spark)
+        assert docs is not None and docs.count() > 0
+        n1 = docs.count()
+        # second drop: same pages again → no new docs (url_seen dedup)
+        corpus.build_pages(spark, 40, partitions=2).write.mode("append").parquet(stream_dir)
+        q2 = incremental_harvest(
+            spark, lake, corpus.build_sources(), stream_dir, ckpt
+        )
+        q2.awaitTermination(120)
+        assert lake.table("documents").read(spark).count() == n1
