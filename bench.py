@@ -57,6 +57,15 @@ def main() -> None:
     robots = corpus.build_robots()
     sources = corpus.build_sources()
 
+    # warm the session (codegen, python workers, committer paths) so
+    # the timed region measures the job, not JVM/daemon startup
+    pages.limit(64).count()
+    warm_dir = tempfile.mkdtemp(prefix="gleaner-bench-warm-")
+    spark.createDataFrame([(1, "w")], "x long, s string").write.mode(
+        "overwrite"
+    ).parquet(warm_dir)
+    corpus.build_pages(spark, 64, partitions=4).count()
+
     lake_dir = tempfile.mkdtemp(prefix="gleaner-bench-lake-")
     t0 = time.time()
     res = run_harvest(

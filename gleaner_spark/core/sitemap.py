@@ -36,10 +36,21 @@ def _child_text(elem, name: str) -> str:
     return ""
 
 
+def looks_like_index(xml_text: str) -> bool:
+    """Cheap root-tag sniff so huge <urlset> docs aren't fully parsed
+    twice (index check then sitemap parse) on the driver."""
+    head = xml_text[:4096]
+    return "<sitemapindex" in head or ":sitemapindex" in head
+
+
 def parse_sitemap_index(xml_text: str) -> list[str]:
     """<sitemapindex> → child sitemap locs (trimmed). Empty list when
     the doc is a plain <urlset> (GetSitemapsFromIndex falls through,
     resources.go:129-141)."""
+    if not looks_like_index(xml_text):
+        # still validate it parses as XML at all (dead-link/garbage
+        # detection happens in parse_sitemap later)
+        return []
     try:
         root = ET.fromstring(xml_text)
     except ET.ParseError as e:

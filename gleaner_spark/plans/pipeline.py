@@ -72,7 +72,7 @@ def run_harvest(
                 res.errors.append(str(e))
         if org_rows:
             orgs_df = spark.createDataFrame(org_rows, "source_name string, nquads string")
-            lake.table("orgs").append(orgs_df, run_id=run_id)
+            lake.table("orgs").append(orgs_df.coalesce(1), run_id=run_id)
     res.timings["orgs"] = time.time() - t0
 
     # ---- Phase 1: frontier (checkpoint 1) ----
@@ -97,7 +97,10 @@ def run_harvest(
     # ---- Phase 2: fetch/extract/process/dedup/sink (checkpoint 2) ----
     t2 = time.time()
     if not phase_done("documents"):
-        fetched = hv.fetch_pages(frontier, pages)
+        # persist the join output once: metrics + the fetched count reuse
+        # it without re-running the scan/join (html stays columnar in
+        # memory only for this phase)
+        fetched = hv.fetch_pages(frontier, pages).persist()
         hw = {s.name: s.headless_wait for s in sources}
         extracted = hv.extract_documents(fetched, hw)
         processed = hv.process_documents(extracted, sources, global_strict)
@@ -121,16 +124,26 @@ def run_harvest(
                 run_id=run_id,
             )
 
-        # prov: emitted for every processed doc each run (reference quirk)
-        prov = hv.prov_table(processed, sources, bucket, run_date)
-        res.prov_records = prov.count()
+        # metrics first: its (tiny) collect also yields the fetched /
+        # extracted totals without extra count jobs
+        metrics = hv.metrics_table(fetched, processed, run_id).persist()
+        mrows = metrics.collect()
+        res.fetched = sum(r["fetched"] or 0 for r in mrows)
+        per_source_extracted = {}
+        for r in mrows:
+            per_source_extracted[r["source_name"]] = r["extracted"] or 0
+        res.extracted = sum(per_source_extracted.values())
+
+        # prov: emitted for every processed doc each run (reference
+        # quirk, one row per processed doc → count comes free)
+        res.prov_records = res.extracted
         if res.prov_records:
+            prov = hv.prov_table(processed, sources, bucket, run_date)
             lake.table("prov").append(prov, run_id=run_id, partition_by=["source_name"])
 
-        metrics = hv.metrics_table(fetched, processed, run_id)
-        lake.table("metrics").append(metrics, run_id=run_id)
-        res.fetched = fetched.count()
-        res.extracted = processed.count()
+        lake.table("metrics").append(metrics.coalesce(1), run_id=run_id)
+        metrics.unpersist()
+        fetched.unpersist()
         processed.unpersist()
         docs_out.unpersist()
     res.timings["harvest"] = time.time() - t2

@@ -1,0 +1,119 @@
+"""Two-cluster-size scaling evidence (north rule).
+
+No real cluster exists in this sandbox, so per the driver protocol we
+run the SAME harvest job on the SAME pre-generated input at two
+parallelism levels (N=local[8] vs 4N=local[32]) in fresh JVMs, and
+report throughput at both plus efficiency = (rate_32 / rate_8) / 4.
+
+Writes BENCH/BASELINE.md. Usage:
+    python tools/bench_scaling.py [n_pages] [runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def generate_corpus(n_pages: int) -> str:
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"gleaner-scaling-corpus-{n_pages}")
+    if os.path.isdir(corpus_dir) and os.listdir(corpus_dir):
+        return corpus_dir
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from gleaner_spark.session import build_session
+from gleaner_spark.sources import corpus
+spark = build_session("gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+corpus.build_pages(spark, {n_pages}, partitions=64).write.mode("overwrite").parquet({corpus_dir!r})
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
+    return corpus_dir
+
+
+def run_once(cpus: int, n_pages: int, corpus_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+        BENCH_HARVEST_PAGES=str(n_pages),
+        BENCH_CORPUS_DIR=corpus_dir,
+        BENCH_HARVEST_ONLY="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"], env=env, cwd=REPO,
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    corpus_dir = generate_corpus(n_pages)
+
+    results: dict[int, list[dict]] = {8: [], 32: []}
+    # warmup (one per level) + timed runs, interleaved for fairness
+    for cpus in (8, 32):
+        run_once(cpus, n_pages, corpus_dir)
+    for _ in range(runs):
+        for cpus in (8, 32):
+            results[cpus].append(run_once(cpus, n_pages, corpus_dir))
+
+    med = {
+        cpus: statistics.median(r["docs_per_sec"] for r in rs)
+        for cpus, rs in results.items()
+    }
+    harvest_med = {
+        cpus: statistics.median(r["queries"]["harvest"] for r in rs)
+        for cpus, rs in results.items()
+    }
+    eff = (med[32] / med[8]) / 4.0
+
+    lines = [
+        "# BENCH/BASELINE.md — scaling evidence (N vs 4N)",
+        "",
+        "Protocol (per BASELINE.md): identical harvest job, identical",
+        f"pre-generated corpus ({n_pages} pages, parquet on disk), fresh JVM per",
+        f"run, 1 warmup + {runs} timed runs per level, medians reported.",
+        "Work unit = URLs fetched + JSON-LD docs extracted (the BASELINE.json",
+        "metric); wall time covers frontier+fetch+extract+fixup+dedup+write,",
+        "session startup and corpus generation excluded.",
+        "",
+        "| cluster size | cores | median harvest s | median work-units/s |",
+        "|---|---|---|---|",
+        f"| N  | local[8]  | {harvest_med[8]:.2f} | {med[8]:.1f} |",
+        f"| 4N | local[32] | {harvest_med[32]:.2f} | {med[32]:.1f} |",
+        "",
+        f"**Scaling efficiency = ({med[32]:.1f} / {med[8]:.1f}) / 4 = {eff:.3f}**",
+        f"(target ≥ 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})",
+        "",
+        "Caveat: both 'clusters' share one machine and one local[(k)] JVM;",
+        "this evidences the job's parallel-scaling shape (no serial driver",
+        "bottleneck, shuffle-light plan), not network/IO behavior of a real",
+        "multi-executor deployment.",
+        "",
+        "Raw runs (docs_per_sec):",
+        f"- local[8]:  {[r['docs_per_sec'] for r in results[8]]}",
+        f"- local[32]: {[r['docs_per_sec'] for r in results[32]]}",
+        "",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
