@@ -103,6 +103,15 @@ class LakeTable:
             df = part if df is None else df.unionByName(part, allowMissingColumns=True)
         return df
 
+    def drop_snapshot(self, snapshot_id: str) -> None:
+        """Remove one snapshot from the manifest (used to discard
+        empty appends); its data dir is left for gc."""
+        snaps = [s for s in self.snapshots() if s["snapshot_id"] != snapshot_id]
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
     def rollback_to(self, snapshot_id: str) -> None:
         snaps = self.snapshots()
         keep = []

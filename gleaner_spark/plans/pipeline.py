@@ -106,33 +106,41 @@ def run_harvest(
         processed = hv.process_documents(extracted, sources, global_strict)
         processed = processed.persist()
 
-        seen = lake.table("url_seen").read(spark)
+        # the seen set IS the documents table projection (content-hash
+        # keys, like the reference's object store) — no separate
+        # url_seen table to keep in sync
+        seen_src = lake.table("documents").read(spark)
+        seen = seen_src.select("source_name", "sha") if seen_src is not None else None
         new_docs = hv.dedup_new_documents(spark, processed, seen)
-        docs_out = hv.documents_table(new_docs).persist()
-        res.new_documents = docs_out.count()
+        docs_out = hv.documents_table(new_docs)
 
-        if res.new_documents:
-            lake.table("documents").append(
-                docs_out, run_id=run_id, partition_by=["source_name"]
-            )
-            lake.table("url_seen").append(
-                docs_out.select(
-                    "source_name", "sha",
-                    F.xxhash64("url").alias("url_hash"),
-                    F.col("fetched_ts").alias("first_seen_ts"),
-                ),
-                run_id=run_id,
-            )
+        # write computes the dedup DAG once; count comes from the
+        # written snapshot's parquet footers (metadata-only)
+        snap = lake.table("documents").append(
+            docs_out, run_id=run_id, partition_by=["source_name"]
+        )
+        snap_dir = f"{lake.table('documents').dir}/{snap['data_dir']}"
+        try:
+            res.new_documents = spark.read.parquet(snap_dir).count()
+        except Exception:  # empty snapshot dir → zero new rows
+            res.new_documents = 0
+        if res.new_documents == 0:
+            lake.table("documents").drop_snapshot(snap["snapshot_id"])
 
-        # metrics first: its (tiny) collect also yields the fetched /
-        # extracted totals without extra count jobs
-        metrics = hv.metrics_table(fetched, processed, run_id).persist()
+        # metrics: one collect yields the fetched/extracted totals;
+        # the (tiny) rows are re-created locally for the lake write so
+        # no second pass over the cached data happens
+        metrics = hv.metrics_table(fetched, processed, run_id)
         mrows = metrics.collect()
         res.fetched = sum(r["fetched"] or 0 for r in mrows)
         per_source_extracted = {}
         for r in mrows:
             per_source_extracted[r["source_name"]] = r["extracted"] or 0
         res.extracted = sum(per_source_extracted.values())
+        if mrows:
+            lake.table("metrics").append(
+                spark.createDataFrame(mrows).coalesce(1), run_id=run_id
+            )
 
         # prov: emitted for every processed doc each run (reference
         # quirk, one row per processed doc → count comes free)
@@ -141,11 +149,8 @@ def run_harvest(
             prov = hv.prov_table(processed, sources, bucket, run_date)
             lake.table("prov").append(prov, run_id=run_id, partition_by=["source_name"])
 
-        lake.table("metrics").append(metrics.coalesce(1), run_id=run_id)
-        metrics.unpersist()
         fetched.unpersist()
         processed.unpersist()
-        docs_out.unpersist()
     res.timings["harvest"] = time.time() - t2
     res.timings["total"] = time.time() - t0
     return res

@@ -55,19 +55,12 @@ def incremental_harvest(
         ).withColumn("position", F.lit(0).cast("long"))
         extracted = hv.extract_documents(fetched, {"stream": 0})
         processed = hv.process_documents(extracted, sources)
-        seen = lake.table("url_seen").read(spark)
+        seen_src = lake.table("documents").read(spark)
+        seen = seen_src.select("source_name", "sha") if seen_src is not None else None
         new_docs = hv.dedup_new_documents(spark, processed, seen)
         docs_out = hv.documents_table(new_docs)
         if docs_out.limit(1).count():
             lake.table("documents").append(docs_out, run_id=f"stream-{batch_id}")
-            lake.table("url_seen").append(
-                docs_out.select(
-                    "source_name", "sha",
-                    F.xxhash64("url").alias("url_hash"),
-                    F.col("fetched_ts").alias("first_seen_ts"),
-                ),
-                run_id=f"stream-{batch_id}",
-            )
 
     return (
         stream.writeStream.foreachBatch(process_batch)
