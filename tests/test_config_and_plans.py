@@ -1,0 +1,130 @@
+"""Config loading (reference YAML samples) + thread/delay policy
+vectors (acquire_test.go) + physical-plan quality assertions
+(pushdown / column pruning / broadcast — the 100 TB checklist)."""
+
+import pytest
+
+from gleaner_spark.operators.frontier import effective_politeness
+from gleaner_spark.sources.config import (
+    Source,
+    filter_sources_by_headless,
+    filter_sources_by_type,
+    load_config,
+    sources_df,
+)
+
+
+class TestPolitenessPolicy:
+    """acquire_test.go:14-89 vectors, 1:1."""
+
+    def test_default(self):
+        assert effective_politeness(5, 0, 0) == (5, 0)
+
+    def test_delay_forces_single_thread(self):
+        assert effective_politeness(5, 1000, 0) == (1, 1000)
+
+    def test_delay_optional(self):
+        assert effective_politeness(5, 0, 0) == (5, 0)
+
+    def test_source_delay_overrides_if_longer(self):
+        assert effective_politeness(5, 5, 100) == (1, 100)
+
+    def test_source_delay_not_overriding_if_shorter(self):
+        assert effective_politeness(5, 50, 10) == (1, 50)
+
+    def test_zero_threads_forced_to_one(self):
+        assert effective_politeness(0, 0, 0) == (1, 0)
+
+
+class TestConfigLoad:
+    def test_just_mainstems_yaml(self):
+        cfg = load_config("/root/reference/testHelpers/sampleConfigs/justMainstems.yml")
+        assert cfg.bucket == "gleanerbucket"
+        assert cfg.summoner.threads == 5
+        assert cfg.summoner.delay_ms == 0  # empty delay → default
+        assert cfg.summoner.mode == "full"
+        assert len(cfg.sources) == 1
+        s = cfg.sources[0]
+        assert s.name == "mainstems"
+        assert s.source_type == "sitemap"
+        assert s.active is True and s.headless is False
+        assert s.url.endswith("mainstems__0.xml")
+        assert s.pid == "https://gleaner.io/genid/geoconnex"
+
+    def test_geoconnex_pids_yaml(self):
+        cfg = load_config("/root/reference/testHelpers/sampleConfigs/geoconnex-pids.yaml")
+        assert len(cfg.sources) >= 2
+        assert all(s.source_type in ("sitemap", "robots") for s in cfg.sources)
+
+    def test_source_filters(self, spark):
+        df = sources_df(
+            spark,
+            [
+                Source(name="a", url="u", source_type="sitemap", active=True),
+                Source(name="b", url="u", source_type="sitemap", active=False),
+                Source(name="c", url="u", source_type="robots", active=True),
+                Source(name="d", url="u", source_type="sitemap", headless=True),
+            ],
+        )
+        assert {r["name"] for r in filter_sources_by_type(df, "sitemap").collect()} == {"a", "d"}
+        assert {r["name"] for r in filter_sources_by_headless(df, False).collect()} == {"a", "c"}
+
+
+class TestPhysicalPlans:
+    """Plan-shape checks: these are the properties that decide whether
+    the job survives a 100× scale-up."""
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        import __spark_entry__ as m
+
+        df = m.queries()["source_filter"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "lang" in plan.split("PushedFilters")[1][:300]
+
+    def test_column_pruning_fetch_join(self, spark):
+        """The pages scan feeding the fetch join must not read columns
+        the join doesn't need (html/text stay pruned until extract)."""
+        from gleaner_spark.operators.harvest import fetch_pages
+        from gleaner_spark.sources import corpus
+        import tempfile
+
+        pages = corpus.build_pages(spark, 50, partitions=2)
+        d = tempfile.mkdtemp() + "/pages"
+        pages.write.parquet(d)
+        pages = spark.read.parquet(d)
+        from pyspark.sql import functions as F
+
+        frontier = spark.read.parquet(d).select(
+            "url", F.lit("s").alias("source_name"), F.lit(1).cast("long").alias("position")
+        )
+        joined = fetch_pages(frontier, pages).select("source_name", "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the scan feeding THIS projection must not carry html
+        read_schemas = [seg[:200] for seg in plan.split("ReadSchema: ")[1:]]
+        assert any("html" not in seg for seg in read_schemas)
+
+    def test_broadcast_join_for_small_dim(self, spark):
+        import __spark_entry__ as m
+
+        df = m.queries()["point_lookup"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_partial_aggregation_present(self, spark):
+        """metrics-style aggs must do map-side partial aggregation."""
+        import __spark_entry__ as m
+
+        df = m.queries()["metrics_agg"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial" in plan.lower()
+
+    def test_whole_stage_codegen_on_text_ops(self, spark):
+        import __spark_entry__ as m
+
+        df = m.queries()["text_tokens"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # '*(n)' prefixes mark whole-stage-codegen spans in the tree dump
+        assert "*(1)" in plan
+        # and the whole pipeline is a single codegen stage over the scan
+        assert "ColumnarToRow" in plan
