@@ -239,14 +239,163 @@ def sha256_hex(s: str) -> str:
     return hashlib.sha256(s.encode("utf-8")).hexdigest()
 
 
+def _transform_context_ref(context: str, ctx: str = HTTPS_CONTEXT) -> str:
+    """The schema.org canonicalization inside fix_context_url
+    (jsonutils.go:150-165), factored so the fast path shares it."""
+    if "schema.org" in context:
+        if "www." in context:
+            i = context.index("schema.org")
+            context = ctx + context[i:]
+        if len(context) < 20:  # shorter than 'https://schema.org/x'
+            context = ctx
+    return context
+
+
+_VOCAB_RAW = je.sjson_string(HTTPS_CONTEXT)  # '"https://schema.org/"'
+# fix_context_array replaces @context wholesale with go_marshal(STANDARD_*);
+# fix_context_url then re-sets every member to sjson_string(same value) —
+# byte-identical for these values (no <>&, no U+2028/9) — so the final
+# bytes equal the marshal itself (pinned by test_fast_matches_slow).
+_STD_HTTPS_RAW = je.go_marshal(STANDARD_HTTPS_CONTEXT)
+
+
+def _splice(s: str, edits: list[tuple[int, int, str]]) -> str:
+    """Apply non-overlapping (start, end, replacement) edits in one pass."""
+    if not edits:
+        return s
+    edits.sort(key=lambda e: e[0])
+    parts, prev = [], 0
+    for a, b, rep in edits:
+        parts.append(s[prev:a])
+        parts.append(rep)
+        prev = b
+    parts.append(s[prev:])
+    return "".join(parts)
+
+
+def _fast_fixups(jsonld: str) -> str | None:
+    """Single-pass equivalent of the string→array→url→id chain.
+
+    Returns the fixed document, or None to signal "use the slow chain"
+    (parse anomalies, ItemList id rewrites). Byte-exactness vs the
+    sequential chain is pinned by a differential test over generated
+    and reference-derived documents."""
+    s = jsonld
+    try:
+        kind, start, end = je._scan_value(s, 0)
+    except je.JsonEditError:
+        return s  # every fixup catches the same scan failure → unchanged
+    if kind != "object":
+        return s  # non-object roots: provably untouched by all four fixups
+
+    ctx_span = typ_span = id_span = None
+    n_members = 0
+    try:
+        for key, _ks, vs, ve in je.iter_members(s, start, end):
+            n_members += 1
+            if ctx_span is None and key == "@context":
+                ctx_span = (vs, ve)
+            elif typ_span is None and key == "@type":
+                typ_span = (vs, ve)
+            elif id_span is None and key == "@id":
+                id_span = (vs, ve)
+    except Exception:
+        # the sequential chain's _find may stop before a malformed later
+        # member; don't try to reproduce that here
+        return None
+
+    # every edit is a span over the ORIGINAL string; the url-fix edits
+    # live inside the @context value span and the id fix inside the
+    # @id value span (disjoint top-level members), so applying them in
+    # one splice is equivalent to the sequential chain
+    edits: list[tuple[int, int, str]] = []
+    base_present = False  # post-url-fix @context.@base (string, nonempty)
+    if ctx_span is None:
+        # url fix appends "@context":{"@vocab": ...} at the end of root
+        ins = je.go_marshal("@context") + ":{" + je.go_marshal("@vocab") + ":" + _VOCAB_RAW + "}"
+        if n_members:
+            ins = "," + ins
+        edits.append((end - 1, end - 1, ins))
+    else:
+        cvs, cve = ctx_span
+        try:
+            ckind, ccs, cce = je._scan_value(s, cvs)
+        except je.JsonEditError:
+            return None
+        if ckind == "string":
+            try:
+                val = json.loads(s[ccs:cce])
+            except Exception:
+                return None
+            new_ctx = '{"@vocab":' + je.sjson_string(_transform_context_ref(val)) + "}"
+            edits.append((ccs, cce, new_ctx))
+        elif ckind == "array":
+            edits.append((ccs, cce, _STD_HTTPS_RAW))
+        elif ckind == "object":
+            # first-occurrence spans, last-occurrence values (gjson Map())
+            first_span: dict[str, tuple[int, int]] = {}
+            last_val: dict[str, tuple[str, str]] = {}
+            try:
+                for key, _ks, vs, ve in je.iter_members(s, ccs, cce):
+                    k2, s2, e2 = je._scan_value(s, vs)
+                    if key not in first_span:
+                        first_span[key] = (s2, e2)
+                    last_val[key] = (k2, s[s2:e2])
+            except Exception:
+                return None
+            final_ctx_val: dict[str, str] = {}
+            try:
+                for ns, (k2, raw2) in last_val.items():
+                    context = _transform_context_ref(je.result_string(k2, raw2))
+                    final_ctx_val[ns] = context
+                    repl = je.sjson_string(context)
+                    a, b = first_span[ns]
+                    if s[a:b] != repl:
+                        edits.append((a, b, repl))
+            except Exception:
+                return None
+            if "@vocab" not in last_val:
+                ins = ("," if last_val else "") + je.go_marshal("@vocab") + ":" + _VOCAB_RAW
+                edits.append((cce - 1, cce - 1, ins))
+            base = final_ctx_val.get("@base")
+            base_present = isinstance(base, str) and base != ""
+        else:
+            # number/literal @context: url fix hits "cannot set under
+            # non-object" and leaves the doc unchanged
+            pass
+
+    if not base_present and typ_span is not None:
+        try:
+            top_type = je.parse_tolerant(s, typ_span[0])
+        except Exception:
+            return None
+        if top_type == "Dataset":
+            if id_span is not None:
+                try:
+                    v = je.parse_tolerant(s, id_span[0])
+                except Exception:
+                    return None
+                if isinstance(v, str) and _url_scheme(v) == "":
+                    a, b = je._scan_value(s, id_span[0])[1:]
+                    edits.append((a, b, je.sjson_string("file://" + v)))
+        elif top_type == "ItemList":
+            # gjson '#' ordinal semantics; rare — sequential path
+            return fix_id(_splice(s, edits))
+    return _splice(s, edits)
+
+
 def process_json(jsonld: str, fix_context_option: str = "https",
                  global_strict: bool = False) -> tuple[str, str]:
     """Apply the fixup chain (unless strict) and return
     (fixed_jsonld, sha1). Order pinned at jsonutils.go:313-330."""
     strict = global_strict and fix_context_option == "strict"
     if not strict:
-        jsonld = fix_context_string(jsonld)
-        jsonld = fix_context_array(jsonld, "https")
-        jsonld = fix_context_url(jsonld, HTTPS_CONTEXT)
-        jsonld = fix_id(jsonld)
+        fixed = _fast_fixups(jsonld)
+        if fixed is None:
+            jsonld = fix_context_string(jsonld)
+            jsonld = fix_context_array(jsonld, "https")
+            jsonld = fix_context_url(jsonld, HTTPS_CONTEXT)
+            jsonld = fix_id(jsonld)
+        else:
+            jsonld = fixed
     return jsonld, sha1_hex(jsonld)

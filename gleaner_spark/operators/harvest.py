@@ -50,13 +50,25 @@ EXTRACTED_SCHEMA = T.StructType(
 def fetch_pages(frontier: DataFrame, pages: DataFrame) -> DataFrame:
     """S15 as an equi-join. Only url/html/text leave the scan
     (column pruning); content type is derived from the URL path the
-    same way acquire.go:240 falls back when servers lie."""
+    same way acquire.go:240 falls back when servers lie.
+
+    The frontier arrives partitioned by ``host`` (politeness window),
+    which is exactly the heavy-tail skew the north rule warns about: a
+    few giant hosts would serialize every downstream Arrow stage. The
+    extract/fixup stages don't care about host locality, so the join
+    output is re-bucketed uniformly on ``url_hash`` (explicit partition
+    count so AQE doesn't coalesce it back below the core count)."""
     p = pages.select(
         F.col("url").alias("page_url"),
         F.col("html"),
         F.col("text"),
     )
-    return frontier.join(p, frontier["url"] == p["page_url"], "inner").drop("page_url")
+    joined = frontier.join(p, frontier["url"] == p["page_url"], "inner").drop("page_url")
+    n = max(2 * joined.sparkSession.sparkContext.defaultParallelism, 8)
+    bucket_key = (
+        F.col("url_hash") if "url_hash" in frontier.columns else F.xxhash64("url")
+    )
+    return joined.repartition(n, bucket_key)
 
 
 def extract_documents(fetched: DataFrame, headless_wait_by_source: dict[str, int] | None = None) -> DataFrame:
@@ -142,6 +154,65 @@ def process_documents(extracted: DataFrame, sources: list[Source],
             yield pdf
 
     return extracted.mapInPandas(run, schema)
+
+
+def extract_and_process(fetched: DataFrame, sources: list[Source],
+                        headless_wait_by_source: dict[str, int] | None = None,
+                        global_strict: bool = False) -> DataFrame:
+    """Fused S16-S26: extraction + fixup chain + hashing in ONE Arrow
+    pass. Chaining two ``mapInPandas`` calls puts two python runners in
+    the same Spark stage (2 workers *per task* — a 2x worker
+    oversubscription at full core count) and pays Arrow serde twice;
+    the harvest pipeline uses this fused stage instead. The unfused
+    operators remain the unit-testable building blocks."""
+    hw = headless_wait_by_source or {}
+    opts = {
+        s.name: (s.fix_context_option, s.identifier_type,
+                 [p for p in [s.identifier_path] if p])
+        for s in sources
+    }
+    schema = T.StructType(list(EXTRACTED_SCHEMA.fields) + PROCESSED_EXTRA)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in schema.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                url = row.url
+                ct = (
+                    ex.JSON_CONTENT_TYPE
+                    if ex.file_extension_is_json(url)
+                    else "text/html"
+                )
+                docs = ex.find_jsonld_in_page(url, ct, row.html)
+                via_fallback = False
+                if not docs and hw.get(row.source_name, 0) >= 0:
+                    docs = ex.extract_from_text_fallback(row.text)
+                    via_fallback = bool(docs)
+                fix_opt, id_type, id_paths = opts.get(
+                    row.source_name, ("https", ident.JSON_SHA, [])
+                )
+                for j, d in enumerate(docs):
+                    if d == "":
+                        continue  # UploadWithLogsAndMetadata skips empties
+                    fixed, sha = fx.process_json(d, fix_opt, global_strict)
+                    identifier = ident.generate_identifier(id_type, id_paths, fixed)
+                    out["source_name"].append(row.source_name)
+                    out["url"].append(url)
+                    out["position"].append(row.position)
+                    out["doc_idx"].append(j)
+                    out["jsonld"].append(d)
+                    out["via_fallback"].append(via_fallback)
+                    out["fixed_jsonld"].append(fixed)
+                    out["sha"].append(sha)
+                    out["sha256"].append(fx.sha256_hex(fixed))
+                    out["unique_id"].append(identifier.unique_id)
+                    out["identifier_type"].append(identifier.identifier_type)
+                    out["matched_path"].append(identifier.matched_path)
+                    out["matched_string"].append(identifier.matched_string)
+            yield pd.DataFrame(out)
+
+    cols = ["source_name", "url", "position", "html", "text"]
+    return fetched.select(*cols).mapInPandas(run, schema)
 
 
 def dedup_new_documents(spark: SparkSession, processed: DataFrame,

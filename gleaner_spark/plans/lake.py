@@ -81,6 +81,29 @@ class LakeTable:
         self._publish(entry)
         return entry
 
+    def append_local(self, rows: list[dict], run_id: str | None = None) -> dict:
+        """Append a snapshot from driver-side rows via pyarrow — for
+        tiny metadata tables (metrics, orgs) where a Spark write job is
+        pure overhead. Same snapshot/manifest semantics as append()."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.dir, f"snap-{snap_id}")
+        os.makedirs(data_dir, exist_ok=True)
+        cols = {k: [r.get(k) for r in rows] for k in rows[0].keys()}
+        pq.write_table(pa.table(cols), os.path.join(data_dir, "part-0.parquet"))
+        entry = {
+            "snapshot_id": snap_id,
+            "parent": (self.latest_snapshot() or {}).get("snapshot_id"),
+            "run_id": run_id or "",
+            "ts": time.time(),
+            "data_dir": f"snap-{snap_id}",
+            "rows": len(rows),
+        }
+        self._publish(entry)
+        return entry
+
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
         """Union of all snapshots up to ``as_of`` (inclusive); None if empty."""
         snaps = self.snapshots()

@@ -71,8 +71,10 @@ def run_harvest(
             except ValueError as e:
                 res.errors.append(str(e))
         if org_rows:
-            orgs_df = spark.createDataFrame(org_rows, "source_name string, nquads string")
-            lake.table("orgs").append(orgs_df.coalesce(1), run_id=run_id)
+            lake.table("orgs").append_local(
+                [{"source_name": n, "nquads": q} for n, q in org_rows],
+                run_id=run_id,
+            )
     res.timings["orgs"] = time.time() - t0
 
     # ---- Phase 1: frontier (checkpoint 1) ----
@@ -96,15 +98,21 @@ def run_harvest(
 
     # ---- Phase 2: fetch/extract/process/dedup/sink (checkpoint 2) ----
     t2 = time.time()
+
+    def _mark(label: str, since: list) -> None:
+        res.timings[f"phase2.{label}"] = time.time() - since[0]
+        since[0] = time.time()
+
     if not phase_done("documents"):
+        _t = [time.time()]
         # persist the join output once: metrics + the fetched count reuse
         # it without re-running the scan/join (html stays columnar in
         # memory only for this phase)
         fetched = hv.fetch_pages(frontier, pages).persist()
         hw = {s.name: s.headless_wait for s in sources}
-        extracted = hv.extract_documents(fetched, hw)
-        processed = hv.process_documents(extracted, sources, global_strict)
+        processed = hv.extract_and_process(fetched, sources, hw, global_strict)
         processed = processed.persist()
+        _mark("plan", _t)
 
         # the seen set IS the documents table projection (content-hash
         # keys, like the reference's object store) — no separate
@@ -116,9 +124,11 @@ def run_harvest(
 
         # write computes the dedup DAG once; count comes from the
         # written snapshot's parquet footers (metadata-only)
+        _mark("dedup_plan", _t)
         snap = lake.table("documents").append(
             docs_out, run_id=run_id, partition_by=["source_name"]
         )
+        _mark("documents_append", _t)
         snap_dir = f"{lake.table('documents').dir}/{snap['data_dir']}"
         try:
             res.new_documents = spark.read.parquet(snap_dir).count()
@@ -126,21 +136,24 @@ def run_harvest(
             res.new_documents = 0
         if res.new_documents == 0:
             lake.table("documents").drop_snapshot(snap["snapshot_id"])
+        _mark("snap_count", _t)
 
         # metrics: one collect yields the fetched/extracted totals;
         # the (tiny) rows are re-created locally for the lake write so
         # no second pass over the cached data happens
         metrics = hv.metrics_table(fetched, processed, run_id)
         mrows = metrics.collect()
+        _mark("metrics_collect", _t)
         res.fetched = sum(r["fetched"] or 0 for r in mrows)
         per_source_extracted = {}
         for r in mrows:
             per_source_extracted[r["source_name"]] = r["extracted"] or 0
         res.extracted = sum(per_source_extracted.values())
         if mrows:
-            lake.table("metrics").append(
-                spark.createDataFrame(mrows).coalesce(1), run_id=run_id
+            lake.table("metrics").append_local(
+                [r.asDict() for r in mrows], run_id=run_id
             )
+        _mark("metrics", _t)
 
         # prov: emitted for every processed doc each run (reference
         # quirk, one row per processed doc → count comes free)
@@ -148,6 +161,7 @@ def run_harvest(
         if res.prov_records:
             prov = hv.prov_table(processed, sources, bucket, run_date)
             lake.table("prov").append(prov, run_id=run_id, partition_by=["source_name"])
+        _mark("prov", _t)
 
         fetched.unpersist()
         processed.unpersist()

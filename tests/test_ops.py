@@ -252,3 +252,28 @@ class TestStreaming:
         )
         q2.awaitTermination(120)
         assert lake.table("documents").read(spark).count() == n1
+
+
+class TestFusedExtractProcess:
+    def test_fused_equals_unfused(self, spark):
+        from gleaner_spark.operators import harvest as hv
+        from gleaner_spark.operators.frontier import build_frontier, schedule_fetches
+        from gleaner_spark.sources import corpus
+
+        n = 400
+        pages = corpus.build_pages(spark, n, partitions=4)
+        sources = corpus.build_sources()
+        frontier, _ = build_frontier(
+            spark, sources, corpus.build_sitemaps(n), corpus.build_robots(), None
+        )
+        frontier = schedule_fetches(frontier)
+        fetched = hv.fetch_pages(frontier, pages)
+        hw = {s.name: s.headless_wait for s in sources}
+        unfused = hv.process_documents(
+            hv.extract_documents(fetched, hw), sources, False
+        )
+        fused = hv.extract_and_process(fetched, sources, hw, False)
+        key = ["url", "doc_idx"]
+        a = {tuple(r[k] for k in key): r.asDict() for r in unfused.collect()}
+        b = {tuple(r[k] for k in key): r.asDict() for r in fused.collect()}
+        assert a == b and len(a) > 0
