@@ -1,0 +1,115 @@
+"""spark-submit entry point (SURVEY §2 S33; cmd/root.go:174-238).
+
+Mirrors the reference CLI surface — ``--cfg`` / ``--source`` /
+``--mode`` / ``--bucket`` / ``--setup`` / ``--rude`` — with the
+object-store flags replaced by lake/pages paths (the Iceberg-style
+lake stands in for MinIO, the pages table for live HTTP per
+BASELINE.json input_hint). Ship it to a cluster as:
+
+    spark-submit --py-files gleaner_spark.zip -m gleaner_spark \\
+        --cfg config.yaml --pages s3://bucket/pages \\
+        --lake s3://bucket/lake --seeds seeds.json
+
+``seeds.json`` maps seed URLs to fetched bodies:
+``{"sitemaps": {url: xml, ...}, "robots": {url: body, ...}}`` —
+the frontier builder consumes bodies, so a live deployment replaces
+this file with an HTTP prefetch of the (tiny) seed list.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from .plans.lake import Lake
+from .plans.pipeline import harvest_from_config
+from .session import build_session
+from .sources.config import load_config
+
+
+def _ship_package(spark) -> None:
+    """Self-ship the package to executors (the --py-files equivalent,
+    so ``python -m gleaner_spark`` works without packaging first;
+    harmless when spark-submit already shipped a zip)."""
+    import os
+    import shutil
+    import tempfile
+
+    import gleaner_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(gleaner_spark.__file__))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(prefix="gleaner-pyfiles-"), "gleaner_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir="gleaner_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="gleaner_spark")
+    ap.add_argument("--cfg", required=True, help="YAML config (gleanerConfig.go:35-49)")
+    ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")
+    ap.add_argument("--lake", required=True, help="lake root for documents/prov/orgs/frontier/metrics")
+    ap.add_argument("--seeds", required=True, help="JSON of prefetched sitemap/robots bodies")
+    ap.add_argument("--source", default="", help="restrict to one source name (root.go:80-110)")
+    ap.add_argument("--mode", default="full", help="full | diff (diff is fatal-unsupported, resources.go:73-75)")
+    ap.add_argument("--bucket", default="", help="URN namespace override (prov.go:133)")
+    ap.add_argument("--setup", action="store_true", help="create lake tables if missing (minio.go:48-71)")
+    ap.add_argument("--rude", action="store_true", help="ignore robots.txt (resources.go:46-49)")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--resume", action="store_true", help="skip phases already checkpointed for this run-id")
+    ap.add_argument("--master", default=None, help="override master (default: spark-submit's)")
+    args = ap.parse_args(argv)
+
+    if args.mode == "diff":
+        # reference parity: log.Fatal at resources.go:73-75
+        print("mode diff is not supported", file=sys.stderr)
+        return 1
+
+    cfg = load_config(args.cfg)
+    if args.source:
+        cfg.sources = [s for s in cfg.sources if s.name == args.source]
+        if not cfg.sources:
+            print(f"no source named {args.source!r} in {args.cfg}", file=sys.stderr)
+            return 1
+    if args.bucket:
+        cfg.bucket = args.bucket
+    if args.rude:
+        cfg.rude = True
+
+    with open(args.seeds) as f:
+        seeds = json.load(f)
+
+    spark = build_session("gleaner-spark", master=args.master)
+    _ship_package(spark)
+    lake = Lake(args.lake)
+    if args.setup:
+        for t in ("documents", "prov", "orgs", "frontier", "metrics"):
+            lake.table(t)  # CREATE TABLE IF NOT EXISTS equivalent
+    pages = spark.read.parquet(args.pages)
+
+    run_id = args.run_id or f"run-{int(time.time())}"
+    res = harvest_from_config(
+        spark, lake, cfg, pages,
+        seeds.get("sitemaps", {}), seeds.get("robots", {}),
+        run_id=run_id, resume=args.resume,
+    )
+    print(json.dumps({
+        "run_id": res.run_id,
+        "frontier_size": res.frontier_size,
+        "fetched": res.fetched,
+        "extracted": res.extracted,
+        "new_documents": res.new_documents,
+        "prov_records": res.prov_records,
+        "errors": res.errors,
+        "timings": {k: round(v, 3) for k, v in res.timings.items()},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

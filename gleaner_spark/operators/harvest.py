@@ -164,20 +164,49 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
     the same Spark stage (2 workers *per task* — a 2x worker
     oversubscription at full core count) and pays Arrow serde twice;
     the harvest pipeline uses this fused stage instead. The unfused
-    operators remain the unit-testable building blocks."""
+    operators remain the unit-testable building blocks.
+
+    A page that yields zero documents emits one *sentinel* row
+    (``doc_idx = -1``, null jsonld) carrying ``page_bytes``, so the
+    downstream metrics aggregation sees every fetched page without a
+    second pass over the html-bearing join output — html flows through
+    this stage exactly once and is never cached (at CC scale the
+    binary column dominates all IO; touch it once)."""
     hw = headless_wait_by_source or {}
     opts = {
         s.name: (s.fix_context_option, s.identifier_type,
                  [p for p in [s.identifier_path] if p])
         for s in sources
     }
-    schema = T.StructType(list(EXTRACTED_SCHEMA.fields) + PROCESSED_EXTRA)
+    schema = T.StructType(
+        list(EXTRACTED_SCHEMA.fields) + PROCESSED_EXTRA
+        + [T.StructField("page_bytes", T.LongType())]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in schema.fieldNames()}
+
+            def emit(row, j, d, via_fallback, nbytes, fixed="", sha=None,
+                     identifier=None):
+                out["source_name"].append(row.source_name)
+                out["url"].append(row.url)
+                out["position"].append(row.position)
+                out["doc_idx"].append(j)
+                out["jsonld"].append(d)
+                out["via_fallback"].append(via_fallback)
+                out["fixed_jsonld"].append(fixed)
+                out["sha"].append(sha)
+                out["sha256"].append(fx.sha256_hex(fixed) if sha is not None else None)
+                out["unique_id"].append(identifier.unique_id if identifier else None)
+                out["identifier_type"].append(identifier.identifier_type if identifier else None)
+                out["matched_path"].append(identifier.matched_path if identifier else None)
+                out["matched_string"].append(identifier.matched_string if identifier else None)
+                out["page_bytes"].append(nbytes)
+
             for row in pdf.itertuples(index=False):
                 url = row.url
+                nbytes = len(row.html) if row.html is not None else 0
                 ct = (
                     ex.JSON_CONTENT_TYPE
                     if ex.file_extension_is_json(url)
@@ -191,24 +220,19 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
                 fix_opt, id_type, id_paths = opts.get(
                     row.source_name, ("https", ident.JSON_SHA, [])
                 )
+                emitted = 0
                 for j, d in enumerate(docs):
                     if d == "":
                         continue  # UploadWithLogsAndMetadata skips empties
                     fixed, sha = fx.process_json(d, fix_opt, global_strict)
                     identifier = ident.generate_identifier(id_type, id_paths, fixed)
-                    out["source_name"].append(row.source_name)
-                    out["url"].append(url)
-                    out["position"].append(row.position)
-                    out["doc_idx"].append(j)
-                    out["jsonld"].append(d)
-                    out["via_fallback"].append(via_fallback)
-                    out["fixed_jsonld"].append(fixed)
-                    out["sha"].append(sha)
-                    out["sha256"].append(fx.sha256_hex(fixed))
-                    out["unique_id"].append(identifier.unique_id)
-                    out["identifier_type"].append(identifier.identifier_type)
-                    out["matched_path"].append(identifier.matched_path)
-                    out["matched_string"].append(identifier.matched_string)
+                    # page_bytes only on the page's first row → plain
+                    # sum() counts each page once downstream
+                    emit(row, j, d, via_fallback,
+                         nbytes if emitted == 0 else 0, fixed, sha, identifier)
+                    emitted += 1
+                if emitted == 0:
+                    emit(row, -1, None, False, nbytes)
             yield pd.DataFrame(out)
 
     cols = ["source_name", "url", "position", "html", "text"]
@@ -291,6 +315,27 @@ def prov_table(processed: DataFrame, sources: list[Source], bucket: str,
             yield pd.DataFrame(out)
 
     return processed.select("source_name", "sha", "url").mapInPandas(run, schema)
+
+
+def metrics_from_processed(processed: DataFrame, run_id: str) -> DataFrame:
+    """North-rule per-partition lineage from the fused-stage output
+    alone: sentinel rows (doc_idx = -1) represent zero-doc pages, so
+    every fetched page is visible without re-reading the html-bearing
+    join output (the reference only logs these counts,
+    acquire.go:31-33)."""
+    return (
+        processed.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("source_name", "partition_id")
+        .agg(
+            F.countDistinct("url").alias("fetched"),
+            F.sum(F.when(F.col("doc_idx") >= 0, 1).otherwise(0)).alias("extracted"),
+            F.sum(
+                F.when(F.col("via_fallback") & (F.col("doc_idx") >= 0), 1).otherwise(0)
+            ).alias("via_fallback"),
+            F.sum("page_bytes").alias("bytes"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
 
 
 def metrics_table(fetched: DataFrame, processed: DataFrame, run_id: str) -> DataFrame:

@@ -105,13 +105,14 @@ def run_harvest(
 
     if not phase_done("documents"):
         _t = [time.time()]
-        # persist the join output once: metrics + the fetched count reuse
-        # it without re-running the scan/join (html stays columnar in
-        # memory only for this phase)
-        fetched = hv.fetch_pages(frontier, pages).persist()
+        # html flows through the fused stage exactly once and is never
+        # cached: the (lightweight) fused output carries sentinel rows
+        # + page_bytes so metrics need no second pass over the join
+        fetched = hv.fetch_pages(frontier, pages)
         hw = {s.name: s.headless_wait for s in sources}
         processed = hv.extract_and_process(fetched, sources, hw, global_strict)
         processed = processed.persist()
+        docs_only = processed.filter(F.col("doc_idx") >= 0)
         _mark("plan", _t)
 
         # the seen set IS the documents table projection (content-hash
@@ -119,7 +120,7 @@ def run_harvest(
         # url_seen table to keep in sync
         seen_src = lake.table("documents").read(spark)
         seen = seen_src.select("source_name", "sha") if seen_src is not None else None
-        new_docs = hv.dedup_new_documents(spark, processed, seen)
+        new_docs = hv.dedup_new_documents(spark, docs_only, seen)
         docs_out = hv.documents_table(new_docs)
 
         # write computes the dedup DAG once; count comes from the
@@ -138,17 +139,14 @@ def run_harvest(
             lake.table("documents").drop_snapshot(snap["snapshot_id"])
         _mark("snap_count", _t)
 
-        # metrics: one collect yields the fetched/extracted totals;
-        # the (tiny) rows are re-created locally for the lake write so
-        # no second pass over the cached data happens
-        metrics = hv.metrics_table(fetched, processed, run_id)
+        # metrics: one aggregation over the cached fused output (the
+        # sentinel rows make zero-doc pages visible); tiny rows land
+        # via a driver-side pyarrow write
+        metrics = hv.metrics_from_processed(processed, run_id)
         mrows = metrics.collect()
         _mark("metrics_collect", _t)
         res.fetched = sum(r["fetched"] or 0 for r in mrows)
-        per_source_extracted = {}
-        for r in mrows:
-            per_source_extracted[r["source_name"]] = r["extracted"] or 0
-        res.extracted = sum(per_source_extracted.values())
+        res.extracted = sum(r["extracted"] or 0 for r in mrows)
         if mrows:
             lake.table("metrics").append_local(
                 [r.asDict() for r in mrows], run_id=run_id
@@ -159,11 +157,10 @@ def run_harvest(
         # quirk, one row per processed doc → count comes free)
         res.prov_records = res.extracted
         if res.prov_records:
-            prov = hv.prov_table(processed, sources, bucket, run_date)
+            prov = hv.prov_table(docs_only, sources, bucket, run_date)
             lake.table("prov").append(prov, run_id=run_id, partition_by=["source_name"])
         _mark("prov", _t)
 
-        fetched.unpersist()
         processed.unpersist()
     res.timings["harvest"] = time.time() - t2
     res.timings["total"] = time.time() - t0

@@ -275,5 +275,20 @@ class TestFusedExtractProcess:
         fused = hv.extract_and_process(fetched, sources, hw, False)
         key = ["url", "doc_idx"]
         a = {tuple(r[k] for k in key): r.asDict() for r in unfused.collect()}
-        b = {tuple(r[k] for k in key): r.asDict() for r in fused.collect()}
+        frows = fused.collect()
+        b = {
+            tuple(r[k] for k in key): {k2: v for k2, v in r.asDict().items() if k2 != "page_bytes"}
+            for r in frows if r["doc_idx"] >= 0
+        }
         assert a == b and len(a) > 0
+        # sentinel rows cover exactly the zero-doc pages, once each
+        sentinels = [r for r in frows if r["doc_idx"] == -1]
+        doc_urls = {r["url"] for r in frows if r["doc_idx"] >= 0}
+        assert all(r["url"] not in doc_urls for r in sentinels)
+        assert len({r["url"] for r in sentinels}) == len(sentinels)
+        # page_bytes counts each page exactly once
+        fetched_pages = fetched.count()
+        assert len(doc_urls) + len(sentinels) == fetched_pages
+        total_bytes = sum(r["page_bytes"] for r in frows)
+        import pyspark.sql.functions as F
+        assert total_bytes == fetched.select(F.sum(F.length("html"))).first()[0]
