@@ -28,7 +28,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
-    n_pages = int(os.environ.get("BENCH_HARVEST_PAGES", str(int(sf * 200_000))))
+    # default 100k pages at sf0.1: big enough that the timed phase is
+    # dominated by per-page work, not job-scheduling fixed costs
+    n_pages = int(os.environ.get("BENCH_HARVEST_PAGES", str(int(sf * 1_000_000))))
     harvest_only = os.environ.get("BENCH_HARVEST_ONLY") == "1"
 
     from gleaner_spark.session import build_session
@@ -107,6 +109,32 @@ def main() -> None:
     extra["harvest_fetched"] = res.fetched
     extra["harvest_docs"] = res.extracted
     extra["docs_per_sec"] = round(work_units / phase_s, 1)
+
+    # byte-identical extraction pass rate (BASELINE.json per-row
+    # invariant): sample harvested documents vs the reference-exact
+    # driver-side extraction+fixup of the same pages
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.core import fixups as fx
+    from gleaner_spark.plans.pipeline import read_documents
+
+    docs_df = read_documents(spark, Lake(lake_dir))
+    step = max(1, n_pages // 500)
+    sample_idx = list(range(0, n_pages, step))
+    expected: dict[str, list[str]] = {}
+    for i in sample_idx:
+        u = corpus.url_for(i)
+        expected[u] = [
+            fx.process_json(d)[0] for d in corpus.expected_documents_for_page(i)
+        ]
+    rows = (
+        docs_df.filter(F.col("url").isin(list(expected)))
+        .select("url", "jsonld")
+        .collect()
+    )
+    matched = sum(1 for r in rows if r["jsonld"] in expected.get(r["url"], []))
+    extra["byte_identity_sampled"] = len(rows)
+    extra["byte_identical_rate"] = round(matched / max(len(rows), 1), 4)
     shutil.rmtree(lake_dir, ignore_errors=True)
 
     # ---------------- analytics suite ----------------

@@ -47,22 +47,37 @@ EXTRACTED_SCHEMA = T.StructType(
 )
 
 
-def fetch_pages(frontier: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_pages(frontier: DataFrame, pages: DataFrame,
+                broadcast_frontier: bool = False) -> DataFrame:
     """S15 as an equi-join. Only url/html/text leave the scan
     (column pruning); content type is derived from the URL path the
     same way acquire.go:240 falls back when servers lie.
 
-    The frontier arrives partitioned by ``host`` (politeness window),
-    which is exactly the heavy-tail skew the north rule warns about: a
-    few giant hosts would serialize every downstream Arrow stage. The
-    extract/fixup stages don't care about host locality, so the join
-    output is re-bucketed uniformly on ``url_hash`` (explicit partition
-    count so AQE doesn't coalesce it back below the core count)."""
+    Partitioning: the frontier arrives partitioned by ``host``
+    (politeness window) — exactly the heavy-tail skew the north rule
+    warns about; if it became the stream side of a broadcast join, a
+    few giant hosts would serialize every downstream Arrow stage.
+
+    - ``broadcast_frontier=True`` (callers pass it when the frontier
+      slice is known-small, e.g. from the checkpoint count): the
+      output inherits the *pages* scan partitioning — uniform, no
+      shuffle of the html column at all.
+    - otherwise the sides shuffle on url (sort-merge/shuffled-hash at
+      scale), which is uniform in hash(url) by construction; a
+      re-bucket on ``url_hash`` is added only as a safety net against
+      Catalyst electing to broadcast the *pages* side (small corpora),
+      the one plan shape that would propagate host skew."""
     p = pages.select(
         F.col("url").alias("page_url"),
         F.col("html"),
         F.col("text"),
     )
+    if broadcast_frontier:
+        return (
+            F.broadcast(frontier)
+            .join(p, frontier["url"] == p["page_url"], "inner")
+            .drop("page_url")
+        )
     joined = frontier.join(p, frontier["url"] == p["page_url"], "inner").drop("page_url")
     n = max(2 * joined.sparkSession.sparkContext.defaultParallelism, 8)
     bucket_key = (
@@ -180,7 +195,8 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
     }
     schema = T.StructType(
         list(EXTRACTED_SCHEMA.fields) + PROCESSED_EXTRA
-        + [T.StructField("page_bytes", T.LongType())]
+        + [T.StructField("page_bytes", T.LongType()),
+           T.StructField("page_first", T.BooleanType())]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -188,7 +204,7 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
             out = {k: [] for k in schema.fieldNames()}
 
             def emit(row, j, d, via_fallback, nbytes, fixed="", sha=None,
-                     identifier=None):
+                     identifier=None, first=False):
                 out["source_name"].append(row.source_name)
                 out["url"].append(row.url)
                 out["position"].append(row.position)
@@ -203,6 +219,7 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
                 out["matched_path"].append(identifier.matched_path if identifier else None)
                 out["matched_string"].append(identifier.matched_string if identifier else None)
                 out["page_bytes"].append(nbytes)
+                out["page_first"].append(first)
 
             for row in pdf.itertuples(index=False):
                 url = row.url
@@ -229,10 +246,11 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
                     # page_bytes only on the page's first row → plain
                     # sum() counts each page once downstream
                     emit(row, j, d, via_fallback,
-                         nbytes if emitted == 0 else 0, fixed, sha, identifier)
+                         nbytes if emitted == 0 else 0, fixed, sha, identifier,
+                         first=emitted == 0)
                     emitted += 1
                 if emitted == 0:
-                    emit(row, -1, None, False, nbytes)
+                    emit(row, -1, None, False, nbytes, first=True)
             yield pd.DataFrame(out)
 
     cols = ["source_name", "url", "position", "html", "text"]
@@ -327,7 +345,10 @@ def metrics_from_processed(processed: DataFrame, run_id: str) -> DataFrame:
         processed.withColumn("partition_id", F.spark_partition_id())
         .groupBy("source_name", "partition_id")
         .agg(
-            F.countDistinct("url").alias("fetched"),
+            # page_first marks exactly one row per fetched page, so the
+            # count is a map-side partial sum (countDistinct would add
+            # a second shuffle stage)
+            F.sum(F.when(F.col("page_first"), 1).otherwise(0)).alias("fetched"),
             F.sum(F.when(F.col("doc_idx") >= 0, 1).otherwise(0)).alias("extracted"),
             F.sum(
                 F.when(F.col("via_fallback") & (F.col("doc_idx") >= 0), 1).otherwise(0)

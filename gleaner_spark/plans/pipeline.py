@@ -107,8 +107,13 @@ def run_harvest(
         _t = [time.time()]
         # html flows through the fused stage exactly once and is never
         # cached: the (lightweight) fused output carries sentinel rows
-        # + page_bytes so metrics need no second pass over the join
-        fetched = hv.fetch_pages(frontier, pages)
+        # + page_bytes so metrics need no second pass over the join.
+        # A known-small frontier slice broadcasts (checkpoint count
+        # from phase 1) so the html column never shuffles at all.
+        fetched = hv.fetch_pages(
+            frontier, pages,
+            broadcast_frontier=0 < res.frontier_size <= 5_000_000,
+        )
         hw = {s.name: s.headless_wait for s in sources}
         processed = hv.extract_and_process(fetched, sources, hw, global_strict)
         processed = processed.persist()
@@ -120,7 +125,12 @@ def run_harvest(
         # url_seen table to keep in sync
         seen_src = lake.table("documents").read(spark)
         seen = seen_src.select("source_name", "sha") if seen_src is not None else None
-        new_docs = hv.dedup_new_documents(spark, docs_only, seen)
+        # the raw pre-fixup text never reaches a sink (documents store
+        # the fixed text as `jsonld`) — drop it before the dedup
+        # shuffle so the widest column doesn't ride through it
+        new_docs = hv.dedup_new_documents(
+            spark, docs_only.drop("jsonld", "page_bytes", "page_first"), seen
+        )
         docs_out = hv.documents_table(new_docs)
 
         # write computes the dedup DAG once; count comes from the

@@ -277,7 +277,10 @@ class TestFusedExtractProcess:
         a = {tuple(r[k] for k in key): r.asDict() for r in unfused.collect()}
         frows = fused.collect()
         b = {
-            tuple(r[k] for k in key): {k2: v for k2, v in r.asDict().items() if k2 != "page_bytes"}
+            tuple(r[k] for k in key): {
+                k2: v for k2, v in r.asDict().items()
+                if k2 not in ("page_bytes", "page_first")
+            }
             for r in frows if r["doc_idx"] >= 0
         }
         assert a == b and len(a) > 0
