@@ -43,11 +43,23 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """A small parquet file scans as ONE split (maxPartitionBytes),
+    which would run the whole tokenize/explode chain on a single core;
+    fan out first. No-op when the scan is already wide (at CC scale
+    the input arrives pre-partitioned — never add a shuffle there)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct (id, shingle_hash) pairs."""
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
+        _ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select(
+            "doc_id",
             F.explode(X.word_shingles(F.col(text_col), n)).alias("shingle"),
         )
         .select("doc_id", X.md5_long(F.col("shingle")).alias("sh"))
@@ -62,8 +74,15 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     integer arithmetic only (inter*100 >= pct*union)."""
     sh = shingle_hashes(docs, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # explicit co-partitioning on the join key: the shingle set is
+    # byte-small but the self-join is compute-dense, so AQE's
+    # byte-based coalescing would squeeze it onto a few tasks; an
+    # explicit repartition pins the width and is reused by BOTH sides
+    # (one exchange, co-partitioned join)
+    par = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    sh_p = sh.repartition(par, "sh")
+    a = sh_p.alias("a")
+    b = sh_p.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
@@ -158,8 +177,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-bit majority vote over token hashes, one groupBy with
     ``bits`` agg columns; signature reassembled JVM-side."""
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
+    tok = _ensure_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
         F.explode(X.tokens(F.col(text_col))).alias("tok"),
     ).withColumn("th", X.md5_long(F.col("tok")))
     aggs = [
