@@ -377,6 +377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ANN.lsh_topk(_t(spark, sf, "embeddings"), k=3, n_planes=6)
     q["ann_lsh"] = ann_lsh
 
+    def ann_ivf(spark, sf):
+        return ANN.ivf_topk(
+            _t(spark, sf, "embeddings"), k=3, n_centroids=8, n_probe=2, iters=2
+        )
+    q["ann_ivf"] = ann_ivf
+
     def multimodal_features(spark, sf):
         from gleaner_spark.operators.multimodal import extract_features, synthetic_media
 

@@ -1,0 +1,107 @@
+"""applyInPandasWithState politeness scheduler: per-host pacing state
+must carry across micro-batches (and therefore across restarts via
+the checkpoint)."""
+
+import os
+import time
+
+import pytest
+
+from gleaner_spark.streaming.stateful import (
+    paced_schedule_stream,
+    schedule_host_batch,
+)
+
+FRONTIER_SCHEMA = "host string, url string, position long, delay_ms long"
+
+
+class TestScheduleHostBatch:
+    def test_first_fetch_at_zero_then_spaced(self):
+        rows = [
+            {"host": "h", "url": "u1", "position": 1, "delay_ms": 100},
+            {"host": "h", "url": "u2", "position": 2, "delay_ms": 100},
+        ]
+        out, last, seq = schedule_host_batch(rows, 0, 0)
+        assert [r["scheduled_ms"] for r in out] == [0, 100]
+        assert (last, seq) == (100, 2)
+
+    def test_continues_from_state(self):
+        rows = [{"host": "h", "url": "u3", "position": 3, "delay_ms": 100}]
+        out, last, seq = schedule_host_batch(rows, 100, 2)
+        assert out[0]["scheduled_ms"] == 200 and out[0]["seq"] == 2
+        assert (last, seq) == (200, 3)
+
+    def test_position_order_within_batch(self):
+        rows = [
+            {"host": "h", "url": "u9", "position": 9, "delay_ms": 10},
+            {"host": "h", "url": "u4", "position": 4, "delay_ms": 10},
+        ]
+        out, _, _ = schedule_host_batch(rows, 0, 0)
+        assert [r["url"] for r in out] == ["u4", "u9"]
+
+    def test_zero_delay_keeps_clock(self):
+        rows = [
+            {"host": "h", "url": "a", "position": 1, "delay_ms": 0},
+            {"host": "h", "url": "b", "position": 2, "delay_ms": 0},
+        ]
+        out, last, _ = schedule_host_batch(rows, 0, 0)
+        assert [r["scheduled_ms"] for r in out] == [0, 0] and last == 0
+
+
+@pytest.mark.usefixtures("spark")
+class TestPacedScheduleStream:
+    def test_state_carries_across_microbatches(self, spark, tmp_path):
+        src = str(tmp_path / "frontier-stream")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src, exist_ok=True)
+
+        def drop(name, rows):
+            spark.createDataFrame(rows, FRONTIER_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src, name))
+
+        # two drops → maxFilesPerTrigger=1 forces separate micro-batches
+        drop("b1", [("hostA", "u1", 1, 100), ("hostA", "u2", 2, 100),
+                    ("hostB", "v1", 1, 50)])
+        drop("b2", [("hostA", "u3", 3, 100), ("hostB", "v2", 2, 50)])
+
+        stream = (
+            spark.readStream.schema(FRONTIER_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            paced_schedule_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sched_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+        for _ in range(20):
+            rows = {
+                (r["host"], r["url"]): r
+                for r in spark.sql("select * from sched_out").collect()
+            }
+            if len(rows) == 5:
+                break
+            time.sleep(1)
+        assert len(rows) == 5
+
+        a = sorted(
+            (r for (h, _), r in rows.items() if h == "hostA"),
+            key=lambda r: r["seq"],
+        )
+        # hostA: 3 fetches spaced 100ms apart, seq/clock monotonic
+        # ACROSS the two micro-batches (state carried)
+        assert [r["url"] for r in a] == ["u1", "u2", "u3"]
+        assert [r["seq"] for r in a] == [0, 1, 2]
+        assert [r["scheduled_ms"] for r in a] == [0, 100, 200]
+
+        b = sorted(
+            (r for (h, _), r in rows.items() if h == "hostB"),
+            key=lambda r: r["seq"],
+        )
+        assert [r["scheduled_ms"] for r in b] == [0, 50]
