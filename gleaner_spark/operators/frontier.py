@@ -228,7 +228,11 @@ def effective_politeness(global_threads: int, global_delay_ms: int,
     return tc, delay
 
 
-def schedule_fetches(frontier: DataFrame) -> DataFrame:
+SALT_BLOCK = 50_000  # one sitemap file's worth (docs/archive/sitemaps.md:52)
+
+
+def schedule_fetches(frontier: DataFrame, scalable: bool = False,
+                     block: int = SALT_BLOCK) -> DataFrame:
     """Politeness scheduler (S13): deterministic per-host fetch order
     + a simulated clock offset. delay>0 ⇒ one lane per host in
     sitemap order (reference: threads=1 + sleep, acquire.go:71-73,210);
@@ -237,13 +241,47 @@ def schedule_fetches(frontier: DataFrame) -> DataFrame:
     Returns frontier + (lane, fetch_seq, scheduled_offset_ms). The
     per-partition token bucket for live fetching lives in
     ``operators.politeness.paced_fetch``.
-    """
-    w = Window.partitionBy("host").orderBy("position")
-    seq = F.row_number().over(w) - F.lit(1)
+
+    ``scalable=True`` is the heavy-tail path (north rule): a plain
+    ``Window.partitionBy(host)`` puts a 50M-URL host into ONE task.
+    Instead the rank is computed in two phases salted by *position
+    block* (range salt, one sitemap file's worth of URLs): a local
+    row_number within (host, source, block) — bounded at ``block``
+    rows per window partition regardless of host size — plus a
+    cumulative block offset from a tiny per-block count table. The
+    result is row-for-row identical to the plain window (pinned by
+    test)."""
     lanes = F.when(F.col("delay_ms") > 0, F.lit(1)).otherwise(
         F.greatest(F.col("threads"), F.lit(1))
     )
-    df = frontier.withColumn("fetch_seq", seq)
+    if not scalable:
+        # source_name tiebreak: hosts serving several sources have no
+        # reference-defined cross-source order (each source crawls in
+        # its own goroutine) — pick the deterministic one
+        w = Window.partitionBy("host").orderBy("source_name", "position")
+        seq = F.row_number().over(w) - F.lit(1)
+        df = frontier.withColumn("fetch_seq", seq)
+    else:
+        blk = F.floor((F.col("position") - 1) / F.lit(block)).alias("blk")
+        salted = frontier.withColumn("blk", blk)
+        w_local = Window.partitionBy("host", "source_name", "blk").orderBy("position")
+        local = salted.withColumn("lr", F.row_number().over(w_local) - F.lit(1))
+        counts = salted.groupBy("host", "source_name", "blk").agg(
+            F.count("*").alias("cnt")
+        )
+        w_off = (
+            Window.partitionBy("host")
+            .orderBy("source_name", "blk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.withColumn(
+            "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+        ).drop("cnt")
+        df = (
+            local.join(F.broadcast(offsets), ["host", "source_name", "blk"])
+            .withColumn("fetch_seq", (F.col("off") + F.col("lr")).cast("int"))
+            .drop("blk", "lr", "off")
+        )
     df = df.withColumn("lane", F.pmod(F.col("fetch_seq"), lanes).cast("int"))
     df = df.withColumn(
         "scheduled_offset_ms",

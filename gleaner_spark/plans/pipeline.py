@@ -87,7 +87,7 @@ def run_harvest(
             spark, sources, sitemap_bodies, robots_bodies, summoner, rude=rude
         )
         res.errors.extend(errors)
-        frontier = schedule_fetches(frontier)
+        frontier = schedule_fetches(frontier, scalable=True)
         lake.table("frontier").append(
             frontier.withColumn("run_id", F.lit(run_id)), run_id=run_id
         )

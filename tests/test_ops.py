@@ -328,3 +328,45 @@ class TestIvf:
         a = sorted(map(tuple, ivf_topk(e, k=2, n_centroids=4, iters=1).collect()))
         b = sorted(map(tuple, ivf_topk(e, k=2, n_centroids=4, iters=1).collect()))
         assert a == b and len(a) > 0
+
+
+class TestScalableScheduling:
+    def test_salted_rank_matches_plain_window(self, spark):
+        from gleaner_spark.operators.frontier import schedule_fetches
+
+        rows = []
+        # one giant host (3 sources interleaved), one small host
+        for s in range(3):
+            for p in range(1, 40):
+                rows.append((f"src{s}", f"https://big/u{s}-{p}", "https://big", p,
+                             2 if s == 1 else 1, 100 * (s % 2)))
+        for p in range(1, 5):
+            rows.append(("srcZ", f"https://small/u{p}", "https://small", p, 3, 0))
+        frontier = spark.createDataFrame(
+            rows,
+            "source_name string, url string, host string, position long, "
+            "threads int, delay_ms long",
+        )
+        key = lambda r: (r["host"], r["url"])
+        plain = {key(r): r.asDict() for r in schedule_fetches(frontier).collect()}
+        # block=7 forces many salt blocks per (host, source)
+        salted = {
+            key(r): r.asDict()
+            for r in schedule_fetches(frontier, scalable=True, block=7).collect()
+        }
+        assert plain == salted and len(plain) == len(rows)
+
+    def test_salted_rank_zero_based_contiguous_per_host(self, spark):
+        from gleaner_spark.operators.frontier import schedule_fetches
+
+        rows = [("s", f"https://h/u{p}", "https://h", p, 1, 50) for p in range(1, 23)]
+        frontier = spark.createDataFrame(
+            rows,
+            "source_name string, url string, host string, position long, "
+            "threads int, delay_ms long",
+        )
+        got = schedule_fetches(frontier, scalable=True, block=5).collect()
+        seqs = sorted(r["fetch_seq"] for r in got)
+        assert seqs == list(range(22))
+        by_seq = {r["fetch_seq"]: r for r in got}
+        assert by_seq[1]["scheduled_offset_ms"] == 50  # delay pacing intact
