@@ -249,3 +249,34 @@ def test_frontier_respects_robots_and_normalization(spark, world):
     assert not any("/private/" in u and "geo0" in u for u in urls)
     # host without robots (geo3) keeps everything
     assert any("/private/" in u and "geo3" in u for u in urls)
+
+
+def test_recrawl_after_deletion_repairs(spark, tmp_lake, world):
+    """Mirror of TestRecrawlSameSourceAfterRemovingFilesInS3
+    (root_internal_test.go:708-745): deleting summoned objects and
+    recrawling re-downloads them — the existence check (here: the
+    documents-table seen set) finds them missing, so the state after
+    recrawl differs from the deleted state and matches the original."""
+    lake = Lake(tmp_lake)
+    r1 = run_harvest(
+        spark, lake, world["sources"], world["pages"], world["sitemaps"],
+        world["robots"], run_id="del-1",
+    )
+    assert r1.new_documents > 0
+    t = lake.table("documents")
+    original = {
+        (r["source_name"], r["sha"]) for r in t.read(spark).collect()
+    }
+    # delete everything (all snapshots) — like removing summoned/ objects
+    for snap in list(t.snapshots()):
+        t.drop_snapshot(snap["snapshot_id"])
+    assert t.read(spark) is None  # state verifiably different
+    r2 = run_harvest(
+        spark, lake, world["sources"], world["pages"], world["sitemaps"],
+        world["robots"], run_id="del-2",
+    )
+    assert r2.new_documents == r1.new_documents  # repaired, not skipped
+    restored = {
+        (r["source_name"], r["sha"]) for r in t.read(spark).collect()
+    }
+    assert restored == original  # content-hash keys → identical state
