@@ -259,11 +259,15 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
 
 def dedup_new_documents(spark: SparkSession, processed: DataFrame,
                         url_seen: DataFrame | None,
-                        expected_seen: int = 1_000_000) -> DataFrame:
+                        expected_seen: int = 1_000_000,
+                        sketch: BloomSketch | None = None) -> DataFrame:
     """S27: Bloom-prefiltered anti-join on (source_name, sha).
 
     Bloom negatives are definitely new and skip the shuffle; only
-    candidates anti-join the authoritative seen table."""
+    candidates anti-join the authoritative seen table. Pass a
+    ``sketch`` restored from a lake checkpoint to skip the
+    build-from-table scan entirely (the 10^10-frontier path — the
+    sketch is maintained incrementally across runs)."""
     processed = processed.withColumn(
         "seen_key", F.concat_ws("/", "source_name", "sha")
     )
@@ -272,7 +276,8 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
     seen_keys = url_seen.select(
         F.concat_ws("/", "source_name", "sha").alias("seen_key")
     )
-    sketch = build_bloom(seen_keys, "seen_key", expected=expected_seen)
+    if sketch is None:
+        sketch = build_bloom(seen_keys, "seen_key", expected=expected_seen)
     mc = might_contain_udf(spark, sketch)
     tagged = processed.withColumn("maybe_seen", mc(F.col("seen_key")))
     definitely_new = tagged.filter(~F.col("maybe_seen"))
@@ -282,6 +287,58 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
         definitely_new.unionByName(verified_new)
         .dropDuplicates(["seen_key"])
         .drop("seen_key", "maybe_seen")
+    )
+
+
+SKETCH_TABLE = "url_seen_sketch"
+
+
+def load_seen_sketch(lake) -> tuple[BloomSketch, int, int] | None:
+    """Latest checkpointed seen-set sketch: (sketch, n_keys, expected).
+
+    North rule: URL-seen sketches checkpoint to lake snapshots so a
+    resumed/next run skips the build-from-table scan over the (at CC
+    scale, 10^10-row) documents table."""
+    t = lake.table(SKETCH_TABLE)
+    snap = t.latest_snapshot()
+    if snap is None:
+        return None
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(_os.path.join(t.dir, snap["data_dir"], "*.parquet")))
+    if not files:
+        return None
+    row = _pq.read_table(files[0]).to_pylist()[0]
+    return BloomSketch.from_bytes(row["blob"]), int(row["n_keys"]), int(row["expected"])
+
+
+def checkpoint_seen_sketch(spark: SparkSession, lake, snap_keys: DataFrame,
+                           prev: tuple[BloomSketch, int, int] | None,
+                           n_new: int, run_id: str,
+                           all_keys: DataFrame | None = None) -> None:
+    """Fold the new snapshot's keys into the checkpointed sketch.
+
+    Incremental path: distributed partial blooms over just the NEW
+    keys, OR-merged with the stored bitset (same (m,k) params — both
+    derive from the stored ``expected``). When the key count outgrows
+    the sketch's capacity (FP rate would degrade), rebuild from the
+    authoritative table at 4x headroom."""
+    if prev is not None and prev[1] + n_new <= prev[2]:
+        sk, n, expected = prev
+        upd = build_bloom(snap_keys, "seen_key", expected=expected)
+        merged = sk.union(upd)
+        n_total = n + n_new
+    else:
+        n_total = (prev[1] if prev else 0) + n_new
+        expected = max(1_000_000, 4 * n_total)
+        src = all_keys if all_keys is not None else snap_keys
+        merged = build_bloom(src, "seen_key", expected=expected)
+    lake.table(SKETCH_TABLE).append_local(
+        [{"blob": merged.to_bytes(), "n_keys": n_total, "expected": expected}],
+        run_id=run_id,
     )
 
 

@@ -125,11 +125,20 @@ def run_harvest(
         # url_seen table to keep in sync
         seen_src = lake.table("documents").read(spark)
         seen = seen_src.select("source_name", "sha") if seen_src is not None else None
+        # seen-set sketch from the lake checkpoint (north rule): skips
+        # the build-from-table scan; only used while under capacity
+        sk_entry = hv.load_seen_sketch(lake)
+        sketch = (
+            sk_entry[0]
+            if seen is not None and sk_entry is not None and sk_entry[1] <= sk_entry[2]
+            else None
+        )
         # the raw pre-fixup text never reaches a sink (documents store
         # the fixed text as `jsonld`) — drop it before the dedup
         # shuffle so the widest column doesn't ride through it
         new_docs = hv.dedup_new_documents(
-            spark, docs_only.drop("jsonld", "page_bytes", "page_first"), seen
+            spark, docs_only.drop("jsonld", "page_bytes", "page_first"), seen,
+            sketch=sketch,
         )
         docs_out = hv.documents_table(new_docs)
 
@@ -147,6 +156,18 @@ def run_harvest(
             res.new_documents = 0
         if res.new_documents == 0:
             lake.table("documents").drop_snapshot(snap["snapshot_id"])
+        else:
+            snap_keys = spark.read.parquet(snap_dir).select(
+                F.concat_ws("/", "source_name", "sha").alias("seen_key")
+            )
+            all_df = lake.table("documents").read(spark)
+            all_keys = all_df.select(
+                F.concat_ws("/", "source_name", "sha").alias("seen_key")
+            )
+            hv.checkpoint_seen_sketch(
+                spark, lake, snap_keys, sk_entry, res.new_documents, run_id,
+                all_keys=all_keys,
+            )
         _mark("snap_count", _t)
 
         # metrics: one aggregation over the cached fused output (the

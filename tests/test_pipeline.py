@@ -280,3 +280,59 @@ def test_recrawl_after_deletion_repairs(spark, tmp_lake, world):
         (r["source_name"], r["sha"]) for r in t.read(spark).collect()
     }
     assert restored == original  # content-hash keys → identical state
+
+
+def test_seen_sketch_checkpoint_lifecycle(spark, tmp_lake, world):
+    """North rule: the URL-seen sketch checkpoints to the lake and is
+    maintained incrementally — later runs skip the build-from-table
+    scan while staying exactly correct (anti-join authority)."""
+    from gleaner_spark.operators import harvest as hv
+
+    lake = Lake(tmp_lake)
+    r1 = run_harvest(spark, lake, world["sources"], world["pages"],
+                     world["sitemaps"], world["robots"], run_id="s1")
+    entry = hv.load_seen_sketch(lake)
+    assert entry is not None
+    sk, n, expected = entry
+    assert n == r1.new_documents and expected >= n
+    # every stored key is a member (no false negatives by construction)
+    keys = [
+        f"{r['source_name']}/{r['sha']}"
+        for r in lake.table("documents").read(spark).collect()
+    ]
+    assert all(sk.might_contain(k) for k in keys)
+
+    # idempotent rerun: sketch is USED (under capacity) and unchanged
+    r2 = run_harvest(spark, lake, world["sources"], world["pages"],
+                     world["sitemaps"], world["robots"], run_id="s2")
+    assert r2.new_documents == 0
+    assert len(lake.table(hv.SKETCH_TABLE).snapshots()) == 1
+
+    # grow the corpus: only the delta lands, sketch count advances
+    extra = corpus.build_pages(spark, N_PAGES + 40, partitions=4)
+    r3 = run_harvest(spark, lake, world["sources"], extra,
+                     corpus.build_sitemaps(N_PAGES + 40), world["robots"],
+                     run_id="s3")
+    assert r3.new_documents > 0
+    sk2, n2, _ = hv.load_seen_sketch(lake)
+    assert n2 == n + r3.new_documents
+
+
+def test_seen_sketch_capacity_rebuild(spark, tmp_lake):
+    """Outgrowing the sketch triggers a rebuild at 4x headroom."""
+    from gleaner_spark.operators import harvest as hv
+    from gleaner_spark.operators.sketch import BloomSketch
+
+    lake = Lake(tmp_lake)
+    tiny = BloomSketch.empty(expected=8)
+    tiny.add_many([f"old/{i}" for i in range(8)])
+    keys_df = spark.createDataFrame(
+        [(f"new/{i}",) for i in range(50)], "seen_key string"
+    )
+    hv.checkpoint_seen_sketch(
+        spark, lake, keys_df, (tiny, 8, 8), 50, "rb",
+        all_keys=keys_df,  # authoritative set for the rebuild
+    )
+    sk, n, expected = hv.load_seen_sketch(lake)
+    assert n == 58 and expected == max(1_000_000, 4 * 58)
+    assert all(sk.might_contain(f"new/{i}") for i in range(50))
