@@ -386,7 +386,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def multimodal_features(spark, sf):
         from gleaner_spark.operators.multimodal import extract_features, synthetic_media
 
-        return extract_features(synthetic_media(spark, 64))
+        feats = extract_features(synthetic_media(spark, 64))
+        # feature is array<float> — unhashable for the harness
+        # canonicalizer; quantize back to the exact digest bytes
+        # (x*255 round-trips float32 losslessly) and join to a string
+        return feats.select(
+            "media_id", "kind", "n_bytes",
+            F.array_join(
+                F.transform(
+                    "feature",
+                    lambda x: F.round(x.cast("double") * 255).cast("int").cast("string"),
+                ),
+                ",",
+            ).alias("feature_q"),
+        )
     q["multimodal_features"] = multimodal_features
 
     return q
@@ -618,6 +631,24 @@ SELECT query_id, nbr_id, rank FROM ranked WHERE rank <= 3
         "SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
         "CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens FROM t"
     )
+
+    # reproduces synthetic_media deterministically in SQL: payload =
+    # sha256 digest of 'media-<i>' repeated (1+i%4)× — so hex(payload)
+    # is the hex string repeated, and the stub's feature bytes are the
+    # sha256 of that hex string (DuckDB sha256 is VARCHAR-only)
+    o["multimodal_features"] = """
+WITH m AS (
+  SELECT i AS media_id,
+         ['image','audio','video'][(i % 3) + 1] AS kind,
+         repeat(sha256('media-' || i), 1 + (i % 4)) AS payload_hex
+  FROM (SELECT unnest(generate_series(0, 63)) AS i)
+)
+SELECT media_id, kind,
+       CAST(length(payload_hex) // 2 AS BIGINT) AS n_bytes,
+       array_to_string(list_transform(generate_series(1, 16),
+          j -> CAST(CAST('0x' || substr(sha256(payload_hex), 2*j - 1, 2) AS INT) AS VARCHAR)), ',') AS feature_q
+FROM m
+"""
 
     o["text_fingerprint"] = (
         f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents), "

@@ -85,15 +85,35 @@ def fix_context_string(jsonld: str) -> str:
         return jsonld
 
 
+def standardize_context(jsonld: str, option: str) -> str:
+    """standardizeContext (jsonutils.go:269-280): only the two
+    standardized* options splice a context; anything else no-ops."""
+    try:
+        if option == "standardizedHttps":
+            return je.set_raw(jsonld, ["@context"], je.go_marshal(STANDARD_HTTPS_CONTEXT))
+        if option == "standardizedHttp":
+            return je.set_raw(jsonld, ["@context"], je.go_marshal(STANDARD_HTTP_CONTEXT))
+    except je.JsonEditError:
+        pass
+    return jsonld
+
+
 def fix_context_array(jsonld: str, option: str = "https") -> str:
     """@context that is an array is replaced wholesale with the
-    standardized 16-prefix context map."""
+    standardized 16-prefix HTTPS context map.
+
+    The ``option`` parameter is accepted for signature parity but
+    deliberately ignored: the reference's fixContextArray
+    (jsonutils.go:176-186) hard-codes config.StandardizedHttps in its
+    standardizeContext call regardless of the option it received (and
+    ProcessJson's getOptions at jsonutils.go:283-296 always passes
+    config.Https anyway). The per-source option's real effect is the
+    ctx string handed to fixContextUrl — see process_json."""
     try:
         kind = je.get_kind(jsonld, ["@context"])
         if kind != "array":
             return jsonld
-        ctx = STANDARD_HTTP_CONTEXT if option == "standardizedHttp" else STANDARD_HTTPS_CONTEXT
-        return je.set_raw(jsonld, ["@context"], je.go_marshal(ctx))
+        return je.set_raw(jsonld, ["@context"], je.go_marshal(STANDARD_HTTPS_CONTEXT))
     except je.JsonEditError:
         return jsonld
 
@@ -252,11 +272,19 @@ def _transform_context_ref(context: str, ctx: str = HTTPS_CONTEXT) -> str:
 
 
 _VOCAB_RAW = je.sjson_string(HTTPS_CONTEXT)  # '"https://schema.org/"'
-# fix_context_array replaces @context wholesale with go_marshal(STANDARD_*);
-# fix_context_url then re-sets every member to sjson_string(same value) —
-# byte-identical for these values (no <>&, no U+2028/9) — so the final
-# bytes equal the marshal itself (pinned by test_fast_matches_slow).
-_STD_HTTPS_RAW = je.go_marshal(STANDARD_HTTPS_CONTEXT)
+# fix_context_array replaces @context wholesale with
+# go_marshal(STANDARD_HTTPS_CONTEXT); fix_context_url then re-sets
+# every member to sjson_string(transform(value, ctx)). With ctx=https
+# the transform is the identity on these values, so the final bytes
+# equal the marshal itself; with ctx=http the two schema.org members
+# (@vocab, schema) canonicalize to http — precompute both outcomes
+# (pinned by the fast-vs-slow differential tests).
+_STD_ARRAY_RAW_BY_CTX = {
+    ctx: je.go_marshal(
+        {k: _transform_context_ref(v, ctx) for k, v in STANDARD_HTTPS_CONTEXT.items()}
+    )
+    for ctx in (HTTPS_CONTEXT, HTTP_CONTEXT)
+}
 
 
 def _splice(s: str, edits: list[tuple[int, int, str]]) -> str:
@@ -273,13 +301,16 @@ def _splice(s: str, edits: list[tuple[int, int, str]]) -> str:
     return "".join(parts)
 
 
-def _fast_fixups(jsonld: str) -> str | None:
+def _fast_fixups(jsonld: str, ctx: str = HTTPS_CONTEXT) -> str | None:
     """Single-pass equivalent of the string→array→url→id chain.
 
-    Returns the fixed document, or None to signal "use the slow chain"
-    (parse anomalies, ItemList id rewrites). Byte-exactness vs the
-    sequential chain is pinned by a differential test over generated
-    and reference-derived documents."""
+    ``ctx`` is fixContextUrl's canonical schema.org string (https or
+    http per the source's fix_context_option — getOptions,
+    jsonutils.go:283-296). Returns the fixed document, or None to
+    signal "use the slow chain" (parse anomalies, ItemList id
+    rewrites). Byte-exactness vs the sequential chain is pinned by a
+    differential test over generated and reference-derived
+    documents."""
     s = jsonld
     try:
         kind, start, end = je._scan_value(s, 0)
@@ -327,10 +358,10 @@ def _fast_fixups(jsonld: str) -> str | None:
                 val = json.loads(s[ccs:cce])
             except Exception:
                 return None
-            new_ctx = '{"@vocab":' + je.sjson_string(_transform_context_ref(val)) + "}"
+            new_ctx = '{"@vocab":' + je.sjson_string(_transform_context_ref(val, ctx)) + "}"
             edits.append((ccs, cce, new_ctx))
         elif ckind == "array":
-            edits.append((ccs, cce, _STD_HTTPS_RAW))
+            edits.append((ccs, cce, _STD_ARRAY_RAW_BY_CTX[ctx]))
         elif ckind == "object":
             # first-occurrence spans, last-occurrence values (gjson Map())
             first_span: dict[str, tuple[int, int]] = {}
@@ -346,7 +377,7 @@ def _fast_fixups(jsonld: str) -> str | None:
             final_ctx_val: dict[str, str] = {}
             try:
                 for ns, (k2, raw2) in last_val.items():
-                    context = _transform_context_ref(je.result_string(k2, raw2))
+                    context = _transform_context_ref(je.result_string(k2, raw2), ctx)
                     final_ctx_val[ns] = context
                     repl = je.sjson_string(context)
                     a, b = first_span[ns]
@@ -384,17 +415,31 @@ def _fast_fixups(jsonld: str) -> str | None:
     return _splice(s, edits)
 
 
+def context_for_option(fix_context_option: str) -> str:
+    """getOptions (jsonutils.go:283-296): https for {https,
+    standardizedHttps} and for strict/unset (the Go zero value of the
+    enum); http for {http, standardizedHttp}. Unknown strings fail
+    Viper's enum unmarshal in the reference and land on the zero
+    value, i.e. https."""
+    if fix_context_option in ("http", "standardizedHttp"):
+        return HTTP_CONTEXT
+    return HTTPS_CONTEXT
+
+
 def process_json(jsonld: str, fix_context_option: str = "https",
                  global_strict: bool = False) -> tuple[str, str]:
     """Apply the fixup chain (unless strict) and return
-    (fixed_jsonld, sha1). Order pinned at jsonutils.go:313-330."""
+    (fixed_jsonld, sha1). Order pinned at jsonutils.go:313-330; the
+    per-source option selects fixContextUrl's canonical schema.org
+    scheme (getOptions, jsonutils.go:283-296)."""
     strict = global_strict and fix_context_option == "strict"
     if not strict:
-        fixed = _fast_fixups(jsonld)
+        ctx = context_for_option(fix_context_option)
+        fixed = _fast_fixups(jsonld, ctx)
         if fixed is None:
             jsonld = fix_context_string(jsonld)
-            jsonld = fix_context_array(jsonld, "https")
-            jsonld = fix_context_url(jsonld, HTTPS_CONTEXT)
+            jsonld = fix_context_array(jsonld)
+            jsonld = fix_context_url(jsonld, ctx)
             jsonld = fix_id(jsonld)
         else:
             jsonld = fixed

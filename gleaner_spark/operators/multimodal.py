@@ -52,8 +52,11 @@ FEATURE_DIM = 16
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB: a real implementation would be e.g. PIL.Image.open →
     resize → np.asarray. Deterministic fake: 16 floats derived from
-    the payload digest so tests can pin values."""
-    d = hashlib.sha256(payload).digest()
+    the digest of the payload's hex encoding so tests can pin values
+    AND a SQL oracle can reproduce them (DuckDB's sha256 is
+    VARCHAR-only, so hashing the hex string keeps the contract
+    cross-engine verifiable)."""
+    d = hashlib.sha256(payload.hex().encode("ascii")).digest()
     return np.frombuffer(d[:FEATURE_DIM * 4], dtype=np.uint8)[
         : FEATURE_DIM
     ].astype(np.float32) / 255.0

@@ -364,3 +364,40 @@ class TestGoMarshal:
 
     def test_sjson_string_no_html_escape(self):
         assert je.sjson_string("a&b<c>") == '"a&b<c>"'
+
+
+class TestFixContextOptionRouting:
+    """getOptions (jsonutils.go:283-296): the per-source option picks
+    fixContextUrl's canonical schema.org scheme; fixContextArray always
+    splices the HTTPS standard context (standardizeContext is called
+    with a hard-coded config.StandardizedHttps)."""
+
+    def test_standardized_http_source_gets_http_schema_refs(self):
+        doc = '{"@context": "http://www.schema.org/", "@type": "Person"}'
+        fixed, _ = fx.process_json(doc, fix_context_option="standardizedHttp")
+        assert json.loads(fixed)["@context"]["@vocab"] == "http://schema.org/schema.org/"
+        fixed_https, _ = fx.process_json(doc, fix_context_option="https")
+        assert json.loads(fixed_https)["@context"]["@vocab"] == "https://schema.org/schema.org/"
+
+    def test_short_schema_ref_canonicalizes_per_option(self):
+        doc = '{"@context": {"@vocab": "https://schema.org/"}, "@type": "Person"}'
+        fixed, _ = fx.process_json(doc, fix_context_option="http")
+        assert json.loads(fixed)["@context"]["@vocab"] == "http://schema.org/"
+
+    def test_array_context_standardizes_https_then_url_fix_applies_option(self):
+        fixed, _ = fx.process_json(CONTEXT_ARRAY_JSON, fix_context_option="standardizedHttp")
+        ctx = json.loads(fixed)["@context"]
+        # the two schema.org members canonicalize to http; the other 14
+        # standard prefixes keep the https values fixContextArray wrote
+        assert ctx["@vocab"] == "http://schema.org/"
+        assert ctx["schema"] == "http://schema.org/"
+        assert ctx["dcat"] == "https://www.w3.org/ns/dcat#"
+        expected = dict(fx.STANDARD_HTTPS_CONTEXT)
+        expected["@vocab"] = expected["schema"] = "http://schema.org/"
+        assert ctx == expected
+
+    def test_standardize_context_switch(self):
+        doc = '{"@context": [1], "@type": "x"}'
+        assert json.loads(fx.standardize_context(doc, "standardizedHttp"))["@context"] == fx.STANDARD_HTTP_CONTEXT
+        assert json.loads(fx.standardize_context(doc, "standardizedHttps"))["@context"] == fx.STANDARD_HTTPS_CONTEXT
+        assert fx.standardize_context(doc, "https") == doc

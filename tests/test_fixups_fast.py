@@ -14,18 +14,20 @@ from hypothesis import given, settings, strategies as st
 from gleaner_spark.core import fixups as fx
 
 
-def slow_chain(doc: str) -> str:
+def slow_chain(doc: str, ctx: str = fx.HTTPS_CONTEXT) -> str:
     out = fx.fix_context_string(doc)
-    out = fx.fix_context_array(out, "https")
-    out = fx.fix_context_url(out, fx.HTTPS_CONTEXT)
+    out = fx.fix_context_array(out)
+    out = fx.fix_context_url(out, ctx)
     out = fx.fix_id(out)
     return out
 
 
 def assert_equivalent(doc: str):
-    fast = fx._fast_fixups(doc)
-    if fast is not None:
-        assert fast == slow_chain(doc)
+    # both ctx options (https sources and http/standardizedHttp ones)
+    for ctx in (fx.HTTPS_CONTEXT, fx.HTTP_CONTEXT):
+        fast = fx._fast_fixups(doc, ctx)
+        if fast is not None:
+            assert fast == slow_chain(doc, ctx)
 
 
 CONTEXT_VARIANTS = [
@@ -173,6 +175,10 @@ def test_process_json_still_matches_chain():
     for doc in SPECIALS + [
         '{"@context": "http://schema.org/", "@type": "Dataset", "@id": "x/y"}',
     ]:
-        fixed, sha = fx.process_json(doc)
-        assert fixed == slow_chain(doc)
-        assert sha == fx.sha1_hex(fixed)
+        for opt, ctx in [("https", fx.HTTPS_CONTEXT),
+                         ("standardizedHttp", fx.HTTP_CONTEXT),
+                         ("http", fx.HTTP_CONTEXT),
+                         ("standardizedHttps", fx.HTTPS_CONTEXT)]:
+            fixed, sha = fx.process_json(doc, fix_context_option=opt)
+            assert fixed == slow_chain(doc, ctx)
+            assert sha == fx.sha1_hex(fixed)
