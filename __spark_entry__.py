@@ -312,6 +312,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_ngram"] = dedup_ngram
 
+    # ---- dedup: n-gram with a shingle document-frequency cap ----
+    # (the 100-TB variant: hot shingles are dropped before the
+    # quadratic self-join; Jaccard over the capped shingle universe)
+    def dedup_ngram_capped(spark, sf):
+        return DD.ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text", n=3,
+            threshold_pct=80, max_shingle_df=20,
+        )
+    q["dedup_ngram_capped"] = dedup_ngram_capped
+
     # ---- dedup: MinHash + LSH banding + exact verify ----
     def dedup_minhash(spark, sf):
         return DD.minhash_lsh_dedup(
@@ -374,7 +384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["harvest_e2e"] = harvest_e2e
 
     def ann_lsh(spark, sf):
-        return ANN.lsh_topk(_t(spark, sf, "embeddings"), k=3, n_planes=6)
+        # 2^8 buckets/table × 4 tables: bucket size stays O(N/2^planes)
+        return ANN.lsh_topk(_t(spark, sf, "embeddings"), k=3, n_planes=8, n_tables=4)
     q["ann_lsh"] = ann_lsh
 
     def ann_ivf(spark, sf):
@@ -524,6 +535,22 @@ SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni
 FROM inter
 JOIN sz sa ON id_a = sa.doc_id
 JOIN sz sb ON id_b = sb.doc_id
+WHERE inter * 100 >= 80 * (sa.sz + sb.sz - inter)
+"""
+
+    o["dedup_ngram_capped"] = f"""
+WITH {_shingle_cte()},
+rare AS (SELECT sh FROM d GROUP BY sh HAVING COUNT(*) <= 20),
+dc AS (SELECT d.doc_id, d.sh FROM d JOIN rare USING (sh)),
+szc AS (SELECT doc_id, COUNT(*) AS sz FROM dc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM dc a JOIN dc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni
+FROM inter
+JOIN szc sa ON id_a = sa.doc_id
+JOIN szc sb ON id_b = sb.doc_id
 WHERE inter * 100 >= 80 * (sa.sz + sb.sz - inter)
 """
 

@@ -2,13 +2,24 @@
 
 - ``brute_force_topk``: exact cosine top-k (the correctness
   baseline; O(Q×N), fine when the query set is bounded/broadcast).
-- ``lsh_topk``: random-hyperplane LSH — vectors bucket by sign
-  signature; per-bucket exact rerank. At 100 TB: buckets are the
-  shuffle key, planes are a broadcast literal, and multi-probe
-  (hamming-1 neighbors) trades recall vs fan-out.
+- ``lsh_topk``: random-hyperplane LSH with BANDED multi-table
+  signatures — ``n_tables`` independent tables of ``n_planes`` bits
+  each, so the bucket count (2^n_planes per table) grows with N
+  while the tables recover recall (a pair only needs to collide in
+  ONE table). The bucket key is the shuffle key; per-bucket exact
+  rerank.
+- ``ivf_topk``: IVF coarse quantization — deterministic k-means,
+  cluster id as the shuffle key, multi-probe rerank.
 
-Planes are deterministic (±1 entries from an md5 parity) so results
-are reproducible without RNG state.
+Scale notes (the 100-TB shapes):
+- k-means iterations never explode rows: each partition emits ONE
+  (cluster, sum_vec, count) partial per cluster via ``mapInPandas``
+  (vs. a posexplode of N×dim rows — 7.7×10^10 rows/iteration at
+  10^8×768) and only K×P tiny partials reach the driver.
+- the (id, double-vec) projection is computed once and persisted
+  across the iters+2 passes (assignment, probes, rerank).
+- planes/centroids are deterministic (md5 parity / lowest-id init)
+  so results are reproducible without RNG state.
 """
 
 from __future__ import annotations
@@ -19,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import cosine_similarity
 
@@ -51,19 +63,21 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _planes(dim: int, n_planes: int) -> list[list[float]]:
+def _planes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (md5 parity), independent per table."""
     out = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()[0]
+            h = hashlib.md5(f"plane:{table}:{p}:{d}".encode()).digest()[0]
             row.append(1.0 if h & 1 else -1.0)
         out.append(row)
     return out
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Sign-signature bucket id as a string of bits."""
+    """Single-table sign-signature bucket id as a string of bits
+    (JVM-expression variant kept for plan tests / tiny signatures)."""
     bits = []
     for plane in planes:
         lit = F.array(*[F.lit(x) for x in plane])
@@ -75,37 +89,153 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
+def lsh_bucket_keys(dim: int, n_planes: int, n_tables: int):
+    """Arrow-batched bucket assignment: one matmul against the full
+    (n_tables×n_planes, dim) plane matrix per batch, bits packed into
+    one integer code per table → ["<table>:<code>", ...]."""
+    pl = np.array(
+        [row for t in range(n_tables) for row in _planes(dim, n_planes, t)],
+        dtype=np.float64,
+    )
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def keys(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        bits = (m @ pl.T) >= 0.0  # (B, T*P)
+        codes = bits.reshape(len(m), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(
+            [[f"{t}:{codes[b, t]}" for t in range(n_tables)] for b in range(len(m))]
+        )
+
+    return keys
+
+
+def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 8,
+             n_tables: int = 4, dim: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Banded multi-table LSH top-k (the scale path).
+
+    Sizing: bucket count per table is 2^n_planes — pick n_planes ≈
+    log2(N / wanted_bucket_size) so the per-bucket self-join stays
+    O(N·bucket_size) regardless of N; n_tables trades shuffle volume
+    (N×T rows) for recall."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("keys", lsh_bucket_keys(dim, n_planes, n_tables)(F.col("v")))
+    banded = e.select("vid", "v", F.explode("keys").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .withColumn("cos", cosine_similarity(F.col("a.v"), F.col("b.v")))
+        # a pair colliding in several tables appears once per table:
+        # collapse before ranking (cos is identical per pair)
+        .groupBy(F.col("a.vid").alias("query_id"), F.col("b.vid").alias("nbr_id"))
+        .agg(F.max("cos").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
 def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
                      iters: int = 3, id_col: str = "vec_id",
                      vec_col: str = "embedding"):
     """Deterministic Lloyd's k-means for IVF coarse quantization.
 
-    Init = the ``n_centroids`` lowest-id vectors (deterministic, no
-    RNG state — reproducible across runs/resumes). Each iteration:
-    broadcast centroids → vectorized argmin assignment → elementwise
-    mean per cluster (posexplode + groupBy, all JVM-side aggregation;
-    only the (n_centroids × dim) means ever reach the driver)."""
-
-    first = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
+    Init = the ``n_centroids`` lowest-id vectors. Each iteration is
+    ONE pass over the (persisted) vectors: every partition computes
+    cosine-argmin assignments against the broadcast centroids and
+    emits a single (cluster, count, sum_vec) partial per non-empty
+    cluster; the driver reduces the K×P partials. No row explosion,
+    no full-assignment shuffle."""
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     )
-    cents = np.array([r[1] for r in first], dtype=np.float64)
-    for _ in range(iters):
-        assigned = assign_clusters(embeddings, cents, id_col, vec_col)
-        means = (
-            assigned.select("cluster", F.posexplode(_as_double(F.col(vec_col))).alias("i", "x"))
-            .groupBy("cluster", "i")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = cents.copy()
-        for r in means:
-            new[r["cluster"]][r["i"]] = r["m"]
-        cents = new
+    cents, _cached = _kmeans_on(base, n_centroids, iters)
+    _cached.unpersist()
     return cents
+
+
+def _kmeans_on(base: DataFrame, n_centroids: int, iters: int):
+    """k-means over a (vid, v:array<double>) frame; returns
+    (centroids, persisted_frame) — caller owns the unpersist."""
+    spark = base.sparkSession
+    # a small parquet scans as ONE split (maxPartitionBytes) — every
+    # Arrow pass (iterations, assignment, rerank) would serialize on
+    # a single core; fan out before pinning in the cache. No-op when
+    # the scan is already wide (CC-scale inputs arrive partitioned).
+    target = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < max(target // 2, 2):
+        base = base.repartition(target)
+    base = base.persist()
+    first = base.orderBy("vid").limit(n_centroids).collect()
+    cents = np.array([r["v"] for r in first], dtype=np.float64)
+    dim = cents.shape[1]
+
+    schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            c = bc.value
+            cn = _norm_rows(c)
+            kk = len(c)
+            sums = np.zeros((kk, dim), dtype=np.float64)
+            cnt = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                m = np.array(pdf["v"].tolist(), dtype=np.float64)
+                if not len(m):
+                    continue
+                a = np.argmax(_norm_rows(m) @ cn.T, axis=1)
+                np.add.at(cnt, a, 1)
+                for cl in np.unique(a):
+                    sums[cl] += m[a == cl].sum(axis=0)
+            nz = np.nonzero(cnt)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cluster": nz.astype("int32"),
+                        "cnt": cnt[nz],
+                        "s": [sums[i].tolist() for i in nz],
+                    }
+                )
+
+        parts = base.select("v").mapInPandas(partials, schema).collect()
+        sums = np.zeros((n_centroids, dim), dtype=np.float64)
+        cnt = np.zeros(n_centroids, dtype=np.int64)
+        for r in sorted(parts, key=lambda r: r["cluster"]):
+            sums[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+            cnt[r["cluster"]] += r["cnt"]
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = sums[nz] / cnt[nz, None]
+        cents = new
+    return cents, base
 
 
 def assign_clusters(embeddings: DataFrame, centroids, id_col: str = "vec_id",
@@ -113,8 +243,6 @@ def assign_clusters(embeddings: DataFrame, centroids, id_col: str = "vec_id",
                     out_col: str = "cluster") -> DataFrame:
     """Nearest-centroid assignment (n_probe=1) or multi-probe list —
     one Arrow-batched matmul per batch against broadcast centroids."""
-    from pyspark.sql import types as T
-
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
     multi = n_probe > 1
@@ -143,20 +271,27 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
 
     Scale shape: the inverted file is the shuffle key (cluster id) —
     candidates co-locate per cell, no all-pairs crossJoin; centroids
-    are a broadcast literal. Recall/fan-out tunes via n_probe."""
-    cents = kmeans_centroids(embeddings, n_centroids, iters, id_col, vec_col)
-    base = assign_clusters(embeddings, cents, id_col, vec_col, 1).select(
-        F.col(id_col).alias("nbr_id"),
-        _as_double(F.col(vec_col)).alias("nv"),
-        F.col("cluster"),
+    are a broadcast literal; ONE fused assignment pass computes both
+    the home cell (probes[0] — argsort top-1 IS the argmax) and the
+    probe list, over the same persisted frame the k-means iterated
+    on."""
+    base0 = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     )
-    probes = (
-        assign_clusters(embeddings, cents, id_col, vec_col, n_probe, "probes")
-        .select(
-            F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("qv"),
-            F.explode("probes").alias("cluster"),
-        )
+    cents, cached = _kmeans_on(base0, n_centroids, iters)
+    probed = assign_clusters(
+        cached, cents, id_col="vid", vec_col="v",
+        n_probe=max(n_probe, 1) if n_probe > 1 else 2, out_col="probes",
+    ).persist()
+    base = probed.select(
+        F.col("vid").alias("nbr_id"),
+        F.col("v").alias("nv"),
+        F.element_at("probes", 1).alias("cluster"),
+    )
+    probes = probed.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(F.slice("probes", 1, max(n_probe, 1))).alias("cluster"),
     )
     scored = (
         probes.join(base, "cluster")
@@ -168,34 +303,4 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "cos")
-    )
-
-
-def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 8,
-             dim: int = 64, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """All-pairs top-k restricted to LSH buckets (the scale path)."""
-    planes = _planes(dim, n_planes)
-    e = embeddings.select(
-        F.col(id_col).alias("vid"),
-        _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
-    a, b = e.alias("a"), e.alias("b")
-    scored = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") != F.col("b.vid")),
-        )
-        .withColumn("cos", cosine_similarity(F.col("a.v"), F.col("b.v")))
-    )
-    w = Window.partitionBy(F.col("a.vid")).orderBy(F.desc("cos"), F.asc(F.col("b.vid")))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("a.vid").alias("query_id"),
-            F.col("b.vid").alias("nbr_id"),
-            "rank",
-            "cos",
-        )
     )

@@ -69,10 +69,28 @@ def shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold_pct: int = 80) -> DataFrame:
+                        threshold_pct: int = 80,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Pairs with n-gram Jaccard ≥ threshold_pct/100, computed with
-    integer arithmetic only (inter*100 >= pct*union)."""
+    integer arithmetic only (inter*100 >= pct*union).
+
+    ``max_shingle_df`` is the 100-TB guard rail: a shingle occurring
+    in d documents contributes d² rows to the self-join, so one
+    boilerplate 3-gram shared by 10^6 docs is 10^12 join rows. The
+    cap drops shingles with document frequency > cap from BOTH the
+    join and the size counts (Jaccard over the capped shingle
+    universe — standard df-capping; when no shingle exceeds the cap
+    the output is bit-identical to the exact variant, pinned by
+    test). None = exact (the oracle-contract variant)."""
     sh = shingle_hashes(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # explicit co-partitioning on the join key: the shingle set is
     # byte-small but the self-join is compute-dense, so AQE's
@@ -104,17 +122,20 @@ def _perm_coeffs(k: int) -> list[tuple[int, int]]:
     return [((2 * j + 1) * 1_000_003 % P, (j * j + j + 41) % P) for j in range(k)]
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", k: int = 16, n: int = 3) -> DataFrame:
-    """K-permutation MinHash in a single groupBy (K agg columns —
-    map-side combine, no row explosion)."""
-    sh = shingle_hashes(docs, id_col, text_col, n)
+def signatures_from_hashes(sh: DataFrame, k: int = 16) -> DataFrame:
+    """K-permutation MinHash over (doc_id, sh) pairs in a single
+    groupBy (K agg columns — map-side combine, no row explosion)."""
     h = F.col("sh") % P
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % P).alias(f"mh{j}")
         for j, (a, b) in enumerate(_perm_coeffs(k))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 16, n: int = 3) -> DataFrame:
+    return signatures_from_hashes(shingle_hashes(docs, id_col, text_col, n), k)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
@@ -148,10 +169,13 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
                       threshold_pct: int = 80) -> DataFrame:
     """shingle → minhash → band-bucket join → exact-Jaccard verify.
 
-    Output: verified near-duplicate pairs among LSH candidates."""
-    sigs = minhash_signatures(docs, id_col, text_col, k, n)
+    Output: verified near-duplicate pairs among LSH candidates. The
+    (doc_id, shingle_hash) set feeds BOTH the signatures and the
+    verification join — computed once and persisted (tokenize +
+    explode + distinct is the most expensive stage)."""
+    sh = shingle_hashes(docs, id_col, text_col, n).persist()
+    sigs = signatures_from_hashes(sh, k)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sh = shingle_hashes(docs, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh"))
@@ -210,25 +234,41 @@ def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              threshold: float = 0.95) -> DataFrame:
-    """All-pairs cosine near-dup pairs via blocked matrix multiply:
-    each partition's block multiplies against a broadcast of the full
-    normalized matrix (BLAS inside a pandas stage — the sanctioned
-    fast path; a fold-based cross join is ~100× slower). At 10^8+
-    vectors broadcast becomes tiling over a grid of blocks, or use
-    the LSH-bucketed path in operators/ann.py."""
+                              threshold: float = 0.95,
+                              n_blocks: int | None = None) -> DataFrame:
+    """Exact all-pairs cosine near-dup pairs via GRID TILING — fully
+    distributed, nothing ever reaches the driver.
+
+    Vectors hash into ``B`` blocks; each vector replicates to the B
+    grid cells (min(b,j), max(b,j)) it participates in; each cell is
+    one ``applyInPandas`` group computing a block×block BLAS matmul.
+    An unordered pair (x,y) lands in exactly one cell, so the output
+    is exact and duplicate-free. Cost model at scale: shuffle is
+    N×B rows, a cell holds ≤ 2N/B vectors — pick B so a cell fits an
+    executor (B ≈ N·dim·8·2 / mem_per_task). Exact all-pairs is
+    inherently O(N²/B) compute; beyond ~10^7 vectors route through
+    the LSH/IVF candidate paths in operators/ann.py instead."""
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = embeddings.sparkSession
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    matn = mat / norms
-    bc = spark.sparkContext.broadcast((ids, matn))
+    B = n_blocks or max(2, int(math.ceil(math.sqrt(spark.sparkContext.defaultParallelism * 2))))
+    e = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    grid = (
+        e.select("vid", "v", "blk", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("j"))
+        .select(
+            "vid", "v", "blk",
+            F.least("blk", "j").alias("ga"),
+            F.greatest("blk", "j").alias("gb"),
+        )
+    )
 
     out_schema = T.StructType(
         [
@@ -237,20 +277,39 @@ def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
             T.StructField("cos", T.DoubleType()),
         ]
     )
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "cos": pd.Series(dtype="float64")})
 
-    def block_pairs(batches):
-        all_ids, all_mat = bc.value
-        for pdf in batches:
-            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            bn = np.linalg.norm(block, axis=1, keepdims=True)
-            bn[bn == 0] = 1.0
-            sims = (block / bn) @ all_mat.T
-            bi, bj = np.nonzero(sims >= threshold)
-            ia, ib = block_ids[bi], all_ids[bj]
-            keep = ia < ib  # dedupe the symmetric grid + self-pairs
-            yield pd.DataFrame(
-                {"id_a": ia[keep], "id_b": ib[keep], "cos": sims[bi, bj][keep]}
+    def cell_pairs(key, pdf):
+        ga, gb = int(key[0]), int(key[1])
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        matn = mat / norms
+        if ga == gb:
+            sims = matn @ matn.T
+            ii, jj = np.nonzero(sims >= threshold)
+            ia, ib = ids[ii], ids[jj]
+            keep = ia < ib  # upper triangle, no self-pairs
+            return pd.DataFrame(
+                {"id_a": ia[keep], "id_b": ib[keep], "cos": sims[ii, jj][keep]}
             )
+        a_side = (pdf["blk"].to_numpy() == ga)
+        if not a_side.any() or a_side.all():
+            return empty
+        sims = matn[a_side] @ matn[~a_side].T
+        ii, jj = np.nonzero(sims >= threshold)
+        ia, ib = ids[a_side][ii], ids[~a_side][jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cos": sims[ii, jj],
+            }
+        )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(block_pairs, out_schema)
+    return grid.groupBy("ga", "gb").applyInPandas(cell_pairs, out_schema)

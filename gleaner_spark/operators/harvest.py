@@ -33,7 +33,7 @@ from ..core import fixups as fx
 from ..core import identifier as ident
 from ..core.prov import prov_graph
 from ..sources.config import Source
-from .sketch import BloomSketch, build_bloom, might_contain_udf
+from .sketch import BloomSketch, build_bloom, with_might_contain
 
 EXTRACTED_SCHEMA = T.StructType(
     [
@@ -49,9 +49,10 @@ EXTRACTED_SCHEMA = T.StructType(
 
 def fetch_pages(frontier: DataFrame, pages: DataFrame,
                 broadcast_frontier: bool = False) -> DataFrame:
-    """S15 as an equi-join. Only url/html/text leave the scan
-    (column pruning); content type is derived from the URL path the
-    same way acquire.go:240 falls back when servers lie.
+    """S15 as an equi-join. Only url/html/text/content_type leave
+    the scan (column pruning); the Content-Type header rides along
+    for the whole-body-JSON negotiation (acquire.go:240) and a
+    corpus without the column degrades to the extension-only check.
 
     Partitioning: the frontier arrives partitioned by ``host``
     (politeness window) — exactly the heavy-tail skew the north rule
@@ -62,15 +63,25 @@ def fetch_pages(frontier: DataFrame, pages: DataFrame,
       slice is known-small, e.g. from the checkpoint count): the
       output inherits the *pages* scan partitioning — uniform, no
       shuffle of the html column at all.
-    - otherwise the sides shuffle on url (sort-merge/shuffled-hash at
-      scale), which is uniform in hash(url) by construction; a
-      re-bucket on ``url_hash`` is added only as a safety net against
-      Catalyst electing to broadcast the *pages* side (small corpora),
-      the one plan shape that would propagate host skew."""
+    - otherwise a SHUFFLE_HASH hint on the frontier side forces a
+      shuffled-hash join: both sides exchange ONCE on hash(url)
+      (uniform by construction), the frontier is the build side (the
+      html-bearing pages stream past it, never sorted, never
+      broadcast), and the output partitioning is hash(url) — exactly
+      the bucketing the downstream Arrow stages want. The hint
+      prevents the one bad plan (Catalyst broadcasting the pages side
+      on small corpora, which would propagate the frontier's host
+      skew into every downstream stage) instead of repairing it with
+      a second full shuffle of the widest column."""
+    ct = (
+        F.col("content_type") if "content_type" in pages.columns
+        else F.lit(None).cast("string")
+    )
     p = pages.select(
         F.col("url").alias("page_url"),
         F.col("html"),
         F.col("text"),
+        ct.alias("content_type"),
     )
     if broadcast_frontier:
         return (
@@ -78,12 +89,11 @@ def fetch_pages(frontier: DataFrame, pages: DataFrame,
             .join(p, frontier["url"] == p["page_url"], "inner")
             .drop("page_url")
         )
-    joined = frontier.join(p, frontier["url"] == p["page_url"], "inner").drop("page_url")
-    n = max(2 * joined.sparkSession.sparkContext.defaultParallelism, 8)
-    bucket_key = (
-        F.col("url_hash") if "url_hash" in frontier.columns else F.xxhash64("url")
+    return (
+        frontier.hint("shuffle_hash")
+        .join(p, frontier["url"] == p["page_url"], "inner")
+        .drop("page_url")
     )
-    return joined.repartition(n, bucket_key)
 
 
 def extract_documents(fetched: DataFrame, headless_wait_by_source: dict[str, int] | None = None) -> DataFrame:
@@ -95,12 +105,11 @@ def extract_documents(fetched: DataFrame, headless_wait_by_source: dict[str, int
             out = {k: [] for k in EXTRACTED_SCHEMA.fieldNames()}
             for row in pdf.itertuples(index=False):
                 url = row.url
-                ct = (
-                    ex.JSON_CONTENT_TYPE
-                    if ex.file_extension_is_json(url)
-                    else "text/html"
-                )
-                docs = ex.find_jsonld_in_page(url, ct, row.html)
+                # content-type negotiation (acquire.go:240): the header
+                # contains-check ORs with the extension check inside
+                # find_jsonld_in_page; a null header degrades to the
+                # extension-only path
+                docs = ex.find_jsonld_in_page(url, row.content_type, row.html)
                 via_fallback = False
                 if not docs and hw.get(row.source_name, 0) >= 0:
                     docs = ex.extract_from_text_fallback(row.text)
@@ -116,7 +125,9 @@ def extract_documents(fetched: DataFrame, headless_wait_by_source: dict[str, int
                     out["via_fallback"].append(via_fallback)
             yield pd.DataFrame(out)
 
-    cols = ["source_name", "url", "position", "html", "text"]
+    cols = ["source_name", "url", "position", "html", "text", "content_type"]
+    if "content_type" not in fetched.columns:
+        fetched = fetched.withColumn("content_type", F.lit(None).cast("string"))
     return fetched.select(*cols).mapInPandas(run, EXTRACTED_SCHEMA)
 
 
@@ -224,12 +235,8 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
             for row in pdf.itertuples(index=False):
                 url = row.url
                 nbytes = len(row.html) if row.html is not None else 0
-                ct = (
-                    ex.JSON_CONTENT_TYPE
-                    if ex.file_extension_is_json(url)
-                    else "text/html"
-                )
-                docs = ex.find_jsonld_in_page(url, ct, row.html)
+                # header contains-check ∨ extension check (acquire.go:240)
+                docs = ex.find_jsonld_in_page(url, row.content_type, row.html)
                 via_fallback = False
                 if not docs and hw.get(row.source_name, 0) >= 0:
                     docs = ex.extract_from_text_fallback(row.text)
@@ -253,7 +260,9 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
                     emit(row, -1, None, False, nbytes, first=True)
             yield pd.DataFrame(out)
 
-    cols = ["source_name", "url", "position", "html", "text"]
+    cols = ["source_name", "url", "position", "html", "text", "content_type"]
+    if "content_type" not in fetched.columns:
+        fetched = fetched.withColumn("content_type", F.lit(None).cast("string"))
     return fetched.select(*cols).mapInPandas(run, schema)
 
 
@@ -278,8 +287,7 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
     )
     if sketch is None:
         sketch = build_bloom(seen_keys, "seen_key", expected=expected_seen)
-    mc = might_contain_udf(spark, sketch)
-    tagged = processed.withColumn("maybe_seen", mc(F.col("seen_key")))
+    tagged = with_might_contain(processed, "seen_key", sketch, "maybe_seen")
     definitely_new = tagged.filter(~F.col("maybe_seen"))
     candidates = tagged.filter(F.col("maybe_seen"))
     verified_new = candidates.join(seen_keys, "seen_key", "left_anti")
@@ -298,7 +306,15 @@ def load_seen_sketch(lake) -> tuple[BloomSketch, int, int] | None:
 
     North rule: URL-seen sketches checkpoint to lake snapshots so a
     resumed/next run skips the build-from-table scan over the (at CC
-    scale, 10^10-row) documents table."""
+    scale, 10^10-row) documents table.
+
+    Lineage guard: the checkpoint records the documents-table snapshot
+    it covers; if the table has advanced past it (a crash landed
+    between the documents append and the sketch checkpoint), the
+    sketch is stale — its missing keys would pass the bloom as
+    "definitely new" and skip the authoritative anti-join — so refuse
+    it and let the caller rebuild from the table (metadata-only
+    check, no scan). Legacy/corrupt blobs are refused the same way."""
     t = lake.table(SKETCH_TABLE)
     snap = t.latest_snapshot()
     if snap is None:
@@ -312,32 +328,54 @@ def load_seen_sketch(lake) -> tuple[BloomSketch, int, int] | None:
     if not files:
         return None
     row = _pq.read_table(files[0]).to_pylist()[0]
-    return BloomSketch.from_bytes(row["blob"]), int(row["n_keys"]), int(row["expected"])
+    docs_snap = lake.table("documents").latest_snapshot()
+    covered = row.get("covers_snapshot_id")
+    if covered != ((docs_snap or {}).get("snapshot_id")):
+        return None
+    try:
+        sketch = BloomSketch.from_bytes(row["blob"])
+    except (ValueError, KeyError):
+        return None
+    return sketch, int(row["n_keys"]), int(row["expected"])
+
+
+def _shards_for(expected: int) -> int:
+    """One shard per ~32M keys keeps each blob < ~64 MB at 1% FPP
+    (broadcast-able, reducible by a single task)."""
+    return max(1, (expected + (32 << 20) - 1) // (32 << 20))
 
 
 def checkpoint_seen_sketch(spark: SparkSession, lake, snap_keys: DataFrame,
                            prev: tuple[BloomSketch, int, int] | None,
                            n_new: int, run_id: str,
-                           all_keys: DataFrame | None = None) -> None:
+                           all_keys: DataFrame | None = None,
+                           covers_snapshot_id: str | None = None) -> None:
     """Fold the new snapshot's keys into the checkpointed sketch.
 
     Incremental path: distributed partial blooms over just the NEW
-    keys, OR-merged with the stored bitset (same (m,k) params — both
-    derive from the stored ``expected``). When the key count outgrows
-    the sketch's capacity (FP rate would degrade), rebuild from the
-    authoritative table at 4x headroom."""
+    keys, OR-merged with the stored bitset (same (m,k,shards) params —
+    both derive from the stored ``expected``). When the key count
+    outgrows the sketch's capacity (FP rate would degrade), rebuild
+    from the authoritative table at 4x headroom; the rebuild's key
+    count comes from the table itself (the incremental counter can
+    understate it when the table predates the sketch)."""
     if prev is not None and prev[1] + n_new <= prev[2]:
         sk, n, expected = prev
-        upd = build_bloom(snap_keys, "seen_key", expected=expected)
+        upd = build_bloom(snap_keys, "seen_key", expected=expected,
+                          n_shards=sk.n_shards)
         merged = sk.union(upd)
         n_total = n + n_new
     else:
-        n_total = (prev[1] if prev else 0) + n_new
-        expected = max(1_000_000, 4 * n_total)
         src = all_keys if all_keys is not None else snap_keys
-        merged = build_bloom(src, "seen_key", expected=expected)
+        n_total = src.count() if all_keys is not None else (prev[1] if prev else 0) + n_new
+        expected = max(1_000_000, 4 * n_total)
+        merged = build_bloom(src, "seen_key", expected=expected,
+                             n_shards=_shards_for(expected))
     lake.table(SKETCH_TABLE).append_local(
-        [{"blob": merged.to_bytes(), "n_keys": n_total, "expected": expected}],
+        [{
+            "blob": merged.to_bytes(), "n_keys": n_total, "expected": expected,
+            "covers_snapshot_id": covers_snapshot_id,
+        }],
         run_id=run_id,
     )
 
@@ -353,6 +391,8 @@ def documents_table(new_docs: DataFrame, fetched_ts=None) -> DataFrame:
         "identifier_type",
         "unique_id",
         "matched_path",
+        # stored in object metadata by the reference (jsonutils.go:361-370)
+        "matched_string",
         F.current_timestamp().alias("fetched_ts") if fetched_ts is None else F.lit(fetched_ts).alias("fetched_ts"),
     )
 

@@ -88,6 +88,11 @@ class LakeTable:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if not rows:
+            raise ValueError(
+                "append_local needs at least one row (refusing to publish an "
+                "empty snapshot with an unknowable column set)"
+            )
         snap_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.dir, f"snap-{snap_id}")
         os.makedirs(data_dir, exist_ok=True)

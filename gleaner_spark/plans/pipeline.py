@@ -54,6 +54,7 @@ def run_harvest(
     rude: bool = False,
     global_strict: bool = False,
     resume: bool = False,
+    broadcast_frontier_max_rows: int = 500_000,
 ) -> HarvestResult:
     res = HarvestResult(run_id=run_id)
     t0 = time.time()
@@ -110,9 +111,13 @@ def run_harvest(
         # + page_bytes so metrics need no second pass over the join.
         # A known-small frontier slice broadcasts (checkpoint count
         # from phase 1) so the html column never shuffles at all.
+        # F.broadcast bypasses autoBroadcastJoinThreshold, so the cap
+        # must stay well inside driver/executor memory: 500k rows of
+        # (url, host, schedule) is ~50 MB serialized; beyond that the
+        # shuffled-hash path (one exchange per side) is the safe plan.
         fetched = hv.fetch_pages(
             frontier, pages,
-            broadcast_frontier=0 < res.frontier_size <= 5_000_000,
+            broadcast_frontier=0 < res.frontier_size <= broadcast_frontier_max_rows,
         )
         hw = {s.name: s.headless_wait for s in sources}
         processed = hv.extract_and_process(fetched, sources, hw, global_strict)
@@ -167,6 +172,7 @@ def run_harvest(
             hv.checkpoint_seen_sketch(
                 spark, lake, snap_keys, sk_entry, res.new_documents, run_id,
                 all_keys=all_keys,
+                covers_snapshot_id=snap["snapshot_id"],
             )
         _mark("snap_count", _t)
 

@@ -68,6 +68,10 @@ def url_for(i: int) -> str:
         return f"{host}/data/item{i}.jsonld"  # whole-body extraction path
     if i % 13 == 9:
         return f"{host}/data/item{i}.json"
+    if i % 13 == 10:
+        return f"{host}/api/record/{i}"  # EXTENSIONLESS; ld+json header
+    if i % 13 == 12:
+        return f"{host}/api/data/{i}"  # EXTENSIONLESS; application/json header
     if i % 29 == 11:
         return f"{host}/private/item{i}"  # robots-disallowed
     return f"{host}/items/item{i}"
@@ -76,6 +80,11 @@ def url_for(i: int) -> str:
 def page_shape(i: int) -> str:
     if i % 13 in (5, 9):
         return "raw_json"
+    if i % 13 in (10, 12):
+        # JSON-LD at an extensionless URL: only the Content-Type
+        # header's contains-check (acquire.go:240) selects whole-body
+        # extraction — the jsonProfile use case (sources.go:69)
+        return "profile_json"
     if i % 17 == 2:
         return "invalid_json"
     if i % 11 == 4:
@@ -93,7 +102,7 @@ def html_for(i: int) -> tuple[str, str]:
     """(html, text) for row i."""
     shape = page_shape(i)
     doc = _payload(i)
-    if shape == "raw_json":
+    if shape in ("raw_json", "profile_json"):
         return doc, doc
     if shape == "invalid_json":
         body = '<script type="application/ld+json">{ INCORRECTSYNTAX }</script>'
@@ -120,6 +129,22 @@ def html_for(i: int) -> tuple[str, str]:
     return html, text
 
 
+def content_type_for(i: int) -> str:
+    """The Content-Type header the server would send for page i
+    (stored alongside the body, as a WARC-derived corpus would)."""
+    s = page_shape(i)
+    if s == "raw_json":
+        return "application/ld+json" if i % 13 == 5 else "application/json"
+    if s == "profile_json":
+        # one variant per branch of the reference contains-check
+        return (
+            "application/ld+json; charset=utf-8"
+            if i % 13 == 10
+            else "application/json; charset=utf-8"
+        )
+    return "text/html; charset=utf-8"
+
+
 PAGES_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -127,6 +152,7 @@ PAGES_SCHEMA = T.StructType(
         T.StructField("html", T.BinaryType()),
         T.StructField("text", T.StringType()),
         T.StructField("lang", T.StringType()),
+        T.StructField("content_type", T.StringType()),
     ]
 )
 
@@ -140,7 +166,8 @@ def build_pages(spark: SparkSession, n_pages: int, partitions: int | None = None
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             idx = pdf["id"].to_numpy()
-            rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            rows = {"url": [], "warc_ts": [], "html": [], "text": [],
+                    "lang": [], "content_type": []}
             for i in idx:
                 i = int(i)
                 html, text = html_for(i)
@@ -149,6 +176,7 @@ def build_pages(spark: SparkSession, n_pages: int, partitions: int | None = None
                 rows["html"].append(html.encode("utf-8"))
                 rows["text"].append(text)
                 rows["lang"].append("en" if i % 10 else "de")
+                rows["content_type"].append(content_type_for(i))
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_pages, numPartitions=parts).mapInPandas(gen, PAGES_SCHEMA)
@@ -228,5 +256,4 @@ def expected_documents_for_page(i: int) -> list[str]:
 
     html, _ = html_for(i)
     url = url_for(i)
-    ct = "application/ld+json" if page_shape(i) == "raw_json" else "text/html"
-    return find_jsonld_in_page(url, ct, html)
+    return find_jsonld_in_page(url, content_type_for(i), html)

@@ -229,3 +229,49 @@ class TestProvOrg:
         lines = [l for l in nq.strip().split("\n") if l]
         assert all(l.endswith(" .") for l in lines)
         assert any("https://gleaner.io/id/org/src1" in l for l in lines)
+
+
+class TestContentTypeNegotiation:
+    """acquire.go:240: whole-body extraction when the Content-Type
+    header CONTAINS application/ld+json or application/json, OR the
+    URL extension is .json/.jsonld — a JSON-LD API serving
+    extensionless URLs (the JsonProfile use case, sources.go:69) must
+    not degrade to script-tag scraping."""
+
+    def test_profile_header_extracts_whole_body(self):
+        from gleaner_spark.core.extract import find_jsonld_in_page
+
+        doc = '{"@context":{"@vocab":"https://schema.org/"},"@type":"Dataset","name":"x"}'
+        url = "https://geo0.example.org/api/record/7"  # no extension
+        got = find_jsonld_in_page(url, "application/ld+json; charset=utf-8", doc)
+        assert got == [doc]  # byte-identical whole body
+        got2 = find_jsonld_in_page(url, "application/json", doc)
+        assert got2 == [doc]
+        # without the header the same body yields nothing (no script tags)
+        assert find_jsonld_in_page(url, "text/html", doc) == []
+        assert find_jsonld_in_page(url, None, doc) == []
+
+    def test_corpus_profile_pages_flow_through_pipeline(self, spark):
+        """End-to-end: extensionless profile-served pages are extracted
+        whole-body and byte-identical through the fused stage."""
+        from pyspark.sql import functions as F
+
+        from gleaner_spark.operators.harvest import extract_and_process, fetch_pages
+        from gleaner_spark.sources import corpus
+
+        n = 60
+        pages = corpus.build_pages(spark, n, partitions=2)
+        profile_idx = [i for i in range(n) if corpus.page_shape(i) == "profile_json"]
+        assert profile_idx, "corpus must contain profile-served pages"
+        frontier = pages.select(
+            "url",
+            F.lit("src0").alias("source_name"),
+            F.lit(1).cast("long").alias("position"),
+        )
+        fetched = fetch_pages(frontier, pages, broadcast_frontier=True)
+        out = extract_and_process(fetched, corpus.build_sources())
+        rows = {r["url"]: r for r in out.filter(F.col("doc_idx") >= 0).collect()}
+        for i in profile_idx:
+            u = corpus.url_for(i)
+            assert "." not in u.rsplit("/", 1)[-1]  # truly extensionless
+            assert rows[u]["jsonld"] == corpus.expected_documents_for_page(i)[0]

@@ -370,3 +370,123 @@ class TestScalableScheduling:
         assert seqs == list(range(22))
         by_seq = {r["fetch_seq"]: r for r in got}
         assert by_seq[1]["scheduled_offset_ms"] == 50  # delay pacing intact
+
+
+class TestCuckooSketch:
+    def test_add_contains_remove(self):
+        from gleaner_spark.operators.sketch import CuckooSketch
+
+        ck = CuckooSketch.empty(expected=1000)
+        keys = [f"url/{i}" for i in range(800)]
+        assert all(ck.add(k) for k in keys)
+        assert all(ck.contains(k) for k in keys)
+        fp = sum(1 for i in range(5000) if ck.contains(f"absent/{i}"))
+        assert fp < 5000 * 0.05
+        # deletable: the recrawl-after-delete repair path
+        for k in keys[:100]:
+            assert ck.remove(k)
+        assert sum(1 for k in keys[:100] if ck.contains(k)) < 10  # fp only
+        assert all(ck.contains(k) for k in keys[100:])
+
+    def test_roundtrip(self):
+        from gleaner_spark.operators.sketch import CuckooSketch
+
+        ck = CuckooSketch.empty(expected=100)
+        ck.add("x")
+        ck2 = CuckooSketch.from_bytes(ck.to_bytes())
+        assert ck2.contains("x") and not ck2.contains("y")
+
+
+def test_bloom_build_is_vectorized_fast():
+    """VERDICT r1 #6: no per-key python hashing — 1M keys must ingest
+    in seconds (hashes precomputed, numpy bit-setting only)."""
+    import time
+
+    import numpy as np
+
+    from gleaner_spark.operators.sketch import BloomSketch
+
+    sk = BloomSketch.empty(expected=2_000_000, fpp=0.01, n_shards=4)
+    h = np.random.default_rng(7).integers(-2**63, 2**63 - 1, size=1_000_000, dtype=np.int64)
+    t0 = time.time()
+    sk.add_hashed(h)
+    dt = time.time() - t0
+    assert dt < 10.0  # ≥ 10^5 keys/s even on a loaded host; typ. >10^6
+    assert bool(sk.contains_hashed(h[:1000]).all())
+
+
+class TestEmbeddingDedupScaleShape:
+    def test_no_driver_collect_of_embeddings(self, spark):
+        """VERDICT r1 #3a: the near-dup operator must be fully
+        distributed — constructing AND executing it must never pull
+        the embedding table through DataFrame.collect."""
+        import numpy as np
+        from pyspark.sql import DataFrame
+
+        from gleaner_spark.operators.dedup import embedding_near_duplicates
+
+        rng = np.random.RandomState(3)
+        base = rng.randn(200, 8).astype("float32")
+        base[100:110] = base[:10] + rng.randn(10, 8).astype("float32") * 0.01
+        e = spark.createDataFrame(
+            [(i, base[i].tolist()) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        orig = DataFrame.collect
+        def boom(self, *a, **kw):
+            raise AssertionError("driver-side collect in embedding dedup")
+        DataFrame.collect = boom
+        try:
+            out = embedding_near_duplicates(e, threshold=0.98)
+            n = out.count()
+        finally:
+            DataFrame.collect = orig
+        assert n >= 10  # the planted near-identical pairs
+
+    def test_grid_tiling_matches_bruteforce_pairs(self, spark):
+        import numpy as np
+
+        from gleaner_spark.operators.dedup import embedding_near_duplicates
+
+        rng = np.random.RandomState(5)
+        base = rng.randn(80, 8).astype("float32")
+        e = spark.createDataFrame(
+            [(i, base[i].tolist()) for i in range(80)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(e, threshold=0.5, n_blocks=5).collect()
+        }
+        m = base.astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        exp = {
+            (i, j)
+            for i in range(80) for j in range(i + 1, 80)
+            if sims[i, j] >= 0.5
+        }
+        assert got == exp and len(exp) > 0
+
+
+def test_ngram_capped_equals_exact_when_under_cap(spark):
+    """df-capped variant is bit-identical to the exact one when no
+    shingle exceeds the cap."""
+    from gleaner_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",
+        "one two three four five six",
+        "one two three four five six",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = sorted(map(tuple, ngram_jaccard_pairs(docs, threshold_pct=50).collect()))
+    capped = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, threshold_pct=50, max_shingle_df=10).collect()))
+    assert exact == capped and len(exact) > 0
+    # a cap of 1 kills every shared shingle → no pairs survive
+    none = ngram_jaccard_pairs(docs, threshold_pct=50, max_shingle_df=1).collect()
+    assert none == []

@@ -334,5 +334,79 @@ def test_seen_sketch_capacity_rebuild(spark, tmp_lake):
         all_keys=keys_df,  # authoritative set for the rebuild
     )
     sk, n, expected = hv.load_seen_sketch(lake)
-    assert n == 58 and expected == max(1_000_000, 4 * 58)
+    # rebuild derives the key count from the authoritative set itself
+    # (the incremental counter can understate it on tables that
+    # predate the sketch)
+    assert n == 50 and expected == max(1_000_000, 4 * 50)
     assert all(sk.might_contain(f"new/{i}") for i in range(50))
+
+
+def test_seen_sketch_stale_lineage_refused(spark, tmp_lake, world):
+    """Crash window: documents append landed but the sketch checkpoint
+    did not. The stale sketch must be refused at load (its missing
+    keys would pass the bloom as 'definitely new' and skip the
+    authoritative anti-join)."""
+    from gleaner_spark.operators import harvest as hv
+
+    lake = Lake(tmp_lake)
+    run_harvest(spark, lake, world["sources"], world["pages"],
+                world["sitemaps"], world["robots"], run_id="c1")
+    assert hv.load_seen_sketch(lake) is not None
+    # simulate the crash: a documents snapshot the sketch never saw
+    lake.table("documents").append_local(
+        [{"source_name": "srcX", "url": "u", "sha": "deadbeef",
+          "sha256": "x", "jsonld": "{}", "identifier_type": "jsonsha",
+          "unique_id": "deadbeef", "matched_path": "", "matched_string": "",
+          "fetched_ts": None}],
+        run_id="crash",
+    )
+    assert hv.load_seen_sketch(lake) is None  # falls back to rebuild
+
+
+def test_sketch_sharded_and_hash_parity(spark):
+    """n_shards>1 must behave identically, and the python XXH64 mirror
+    must be bit-equal to Spark's xxhash64 (build hashes JVM-side,
+    string convenience hashes python-side — they must agree)."""
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.operators.sketch import build_bloom, xxh64
+
+    vals = [f"key-{i}" for i in range(300)] + ["", "é-unicode", "a" * 100]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    got = {r["k"]: r["h"] for r in df.select("k", F.xxhash64("k").alias("h")).collect()}
+    for v in vals:
+        assert (xxh64(v.encode()) & ((1 << 64) - 1)) == got[v] & ((1 << 64) - 1)
+
+    sk = build_bloom(df, "k", expected=1000, fpp=0.01, n_shards=8)
+    assert sk.n_shards == 8
+    assert all(sk.might_contain(v) for v in vals)
+    fp = sum(1 for i in range(5000) if sk.might_contain(f"absent-{i}"))
+    assert fp < 5000 * 0.05
+    # round-trip
+    from gleaner_spark.operators.sketch import BloomSketch
+    sk2 = BloomSketch.from_bytes(sk.to_bytes())
+    assert sk2.n_shards == 8 and sk2.might_contain("key-7")
+
+
+def test_matched_string_stored_for_identifiersha_source(spark, tmp_lake, world):
+    """Reference stores matchedpath+matchedstring in object metadata
+    when a JSONPath matched (jsonutils.go:361-370); src1 is the
+    identifiersha source (identifier_path=$.identifier.value)."""
+    lake = Lake(tmp_lake)
+    run_harvest(
+        spark, lake, world["sources"], world["pages"],
+        world["sitemaps"], world["robots"],
+        summoner=SummonerConfig(threads=5, delay_ms=0),
+        run_id="rms",
+    )
+    docs = lake.table("documents").read(spark)
+    assert "matched_string" in docs.columns
+    src1 = docs.filter(
+        (F.col("source_name") == "src1") & (F.col("identifier_type") == "identifiersha")
+    )
+    with_match = src1.filter(F.col("matched_path") != "")
+    assert with_match.count() > 0
+    # every row with a matched path carries its matched string
+    assert with_match.filter(
+        (F.col("matched_string").isNull()) | (F.col("matched_string") == "")
+    ).count() == 0
