@@ -56,7 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lake", required=True, help="lake root for documents/prov/orgs/frontier/metrics")
     ap.add_argument("--seeds", required=True, help="JSON of prefetched sitemap/robots bodies")
     ap.add_argument("--source", default="", help="restrict to one source name (root.go:80-110)")
-    ap.add_argument("--mode", default="full", help="full | diff (diff is fatal-unsupported, resources.go:73-75)")
+    ap.add_argument("--mode", default="local",
+                    help="reference default 'local' (root.go:232); only 'diff' "
+                         "changes behavior and is fatal-unsupported (resources.go:73-75)")
     ap.add_argument("--bucket", default="", help="URN namespace override (prov.go:133)")
     ap.add_argument("--setup", action="store_true", help="create lake tables if missing (minio.go:48-71)")
     ap.add_argument("--rude", action="store_true", help="ignore robots.txt (resources.go:46-49)")
@@ -68,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "diff":
         # reference parity: log.Fatal at resources.go:73-75
         print("mode diff is not supported", file=sys.stderr)
+        return 1
+    if args.rude and not args.source:
+        # reference parity: cmd/root.go:106-109
+        print("rude is only valid when --source is also specified", file=sys.stderr)
         return 1
 
     cfg = load_config(args.cfg)

@@ -180,20 +180,19 @@ def fix_id(jsonld: str) -> str:
 # validity / graph arrays (jsonutils.go:25-96)
 # ---------------------------------------------------------------------------
 
-try:  # pragma: no cover - optional dependency
-    from pyld import jsonld as _pyld  # type: ignore
+def _to_rdf_ok(doc: dict) -> bool:
+    """The json-gold proc.ToRDF check (jsonutils.go:83-92), served by
+    the from-scratch expansion engine in core/rdf.py: a doc whose
+    context/structure fails JSON-LD expansion is dropped, exactly
+    like the reference; remote contexts resolve against the preload
+    map (schema.org built in — ldproc.go's cached loader)."""
+    from . import rdf
 
-    def _to_rdf_ok(doc: dict) -> bool:
-        try:
-            _pyld.to_rdf(doc)
-            return True
-        except Exception:
-            return False
-except ImportError:  # sandbox fallback: structural validation only
-    _pyld = None
-
-    def _to_rdf_ok(doc: dict) -> bool:
+    try:
+        rdf.to_rdf(doc)
         return True
+    except Exception:
+        return False
 
 
 def is_valid(jsonld: str) -> tuple[bool, str | None]:

@@ -113,34 +113,12 @@ def org_jsonld(name: str, url: str, pid: str) -> str:
 
 
 def org_nquads(name: str, url: str, pid: str) -> str:
-    """JSON-LD → N-Quads for the fixed org template shape.
+    """JSON-LD → N-Quads via the real expansion engine (core/rdf.py),
+    matching the reference's JLD2nq (proc.ToRDF with
+    Format=application/n-quads, common/jld2nq.go:13-33): sorted
+    N-Quad lines; the identifier node is the PID IRI (the template
+    gives it an ``@id``, so it is NOT a blank node)."""
+    from . import rdf
 
-    Uses pyld (URDNA2015-capable) when importable; otherwise a
-    deterministic hand serializer producing the same triple *set* for
-    this template (order-insensitive comparison is the reference's own
-    test strategy, testHelpers/helpers.go:22-44).
-    """
-    doc_str = org_jsonld(name, url, pid)
-    try:  # pragma: no cover - optional dependency
-        from pyld import jsonld as _pyld  # type: ignore
-
-        doc = json.loads(doc_str)
-        return _pyld.normalize(
-            doc, {"algorithm": "URDNA2015", "format": "application/n-quads"}
-        )
-    except ImportError:
-        pass
-    so = "https://schema.org/"
-    org_id = f"https://gleaner.io/id/org/{name}"
-    bnode = "_:b0"
-    quads = [
-        f"<{org_id}> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{so}Organization> .",
-        f"<{org_id}> <{so}identifier> {bnode} .",
-        f"<{org_id}> <{so}name> \"{name}\" .",
-        f"<{org_id}> <{so}url> \"{url}\" .",
-        f"{bnode} <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{so}PropertyValue> .",
-        f"{bnode} <{so}description> \"Persistent identifier for this organization\" .",
-        f"{bnode} <{so}propertyID> \"https://registry.identifiers.org/registry/doi\" .",
-        f"{bnode} <{so}url> \"{pid}\" .",
-    ]
-    return "\n".join(quads) + "\n"
+    doc = json.loads(org_jsonld(name, url, pid))
+    return rdf.to_nquads(doc)

@@ -147,28 +147,36 @@ def run_harvest(
         )
         docs_out = hv.documents_table(new_docs)
 
-        # write computes the dedup DAG once; count comes from the
-        # written snapshot's parquet footers (metadata-only)
+        # write computes the dedup DAG once; the new-row count rides
+        # on the SAME job via an Observation (no second read of the
+        # snapshot — one fewer fixed-cost job per run, which is what
+        # small-cluster efficiency is made of)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        docs_out = docs_out.observe(obs, F.count(F.lit(1)).alias("n"))
         _mark("dedup_plan", _t)
         snap = lake.table("documents").append(
             docs_out, run_id=run_id, partition_by=["source_name"]
         )
+        res.new_documents = int(obs.get["n"])
         _mark("documents_append", _t)
         snap_dir = f"{lake.table('documents').dir}/{snap['data_dir']}"
-        try:
-            res.new_documents = spark.read.parquet(snap_dir).count()
-        except Exception:  # empty snapshot dir → zero new rows
-            res.new_documents = 0
         if res.new_documents == 0:
             lake.table("documents").drop_snapshot(snap["snapshot_id"])
         else:
             snap_keys = spark.read.parquet(snap_dir).select(
                 F.concat_ws("/", "source_name", "sha").alias("seen_key")
             )
-            all_df = lake.table("documents").read(spark)
-            all_keys = all_df.select(
-                F.concat_ws("/", "source_name", "sha").alias("seen_key")
-            )
+            # the authoritative key set is only needed on the rebuild
+            # path when the table PREDATES this run (the incremental
+            # counter may understate it); on a fresh lake the new keys
+            # ARE the table — skip the extra full-table count job
+            all_keys = None
+            if seen is not None:
+                all_keys = lake.table("documents").read(spark).select(
+                    F.concat_ws("/", "source_name", "sha").alias("seen_key")
+                )
             hv.checkpoint_seen_sketch(
                 spark, lake, snap_keys, sk_entry, res.new_documents, run_id,
                 all_keys=all_keys,

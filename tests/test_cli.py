@@ -94,3 +94,15 @@ def test_cli_single_source_and_resume(spark, tmp_lake, tmp_path, capsys):
     assert rc == 0
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert second["new_documents"] == 0  # phases checkpointed → skipped
+
+
+def test_cli_rude_requires_source(tmp_path, capsys):
+    """root.go:106-109: --rude without --source is an error."""
+    from gleaner_spark.__main__ import main
+
+    rc = main([
+        "--cfg", "x.yaml", "--pages", "p", "--lake", str(tmp_path),
+        "--seeds", "s.json", "--rude",
+    ])
+    assert rc == 1
+    assert "rude is only valid" in capsys.readouterr().err
