@@ -149,10 +149,11 @@ def main() -> None:
         qs = entrymod.queries()
         suite = [
             "tpch_pricing", "fetch_join", "events_sessionize", "events_tumbling",
-            "dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash",
-            "embedding_neardup", "ann_topk", "ann_lsh", "ann_ivf",
+            "dedup_exact", "dedup_ngram", "dedup_ngram_capped", "dedup_minhash",
+            "dedup_simhash", "embedding_neardup", "ann_topk", "ann_lsh", "ann_ivf",
             "text_langid", "text_quality", "text_tokens", "text_fingerprint",
             "politeness_window", "dedup_antijoin", "metrics_agg",
+            "multimodal_features",
         ]
         for name in suite:
             t0 = time.time()

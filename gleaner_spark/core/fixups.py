@@ -189,7 +189,10 @@ def _to_rdf_ok(doc: dict) -> bool:
     from . import rdf
 
     try:
-        rdf.to_rdf(doc)
+        # every json-gold ToRDF error originates in context processing
+        # or expansion; node-map/quad generation is error-free — skip
+        # it in the per-document hot path
+        rdf.expand(doc)
         return True
     except Exception:
         return False

@@ -91,6 +91,7 @@ def preload_context(url_prefixes: list[str], document: dict) -> None:
         _PRELOADED[u] = ctx
         _PRELOADED[u.rstrip("/")] = ctx
         _PRELOADED[u.rstrip("/") + "/"] = ctx
+    _CTX_CACHE.clear()  # cached contexts may embed stale remote docs
 
 
 def _load_remote(url: str) -> dict:
@@ -317,6 +318,32 @@ def _expand_iri(ctx: Context, value, *, vocab: bool = False,
 # expansion
 # ---------------------------------------------------------------------------
 
+# a harvest batch sees the same handful of @context shapes millions
+# of times (5 variants in the synthetic corpus; a dozen across real
+# schema.org publishers) — memoize processed contexts by their JSON
+# identity. Bounded; falls through to a fresh parse on miss.
+_CTX_CACHE: dict[str, Context] = {}
+_CTX_CACHE_MAX = 512
+
+
+def _process_context_cached(active: Context, local) -> Context:
+    try:
+        key = json.dumps(local, sort_keys=True, default=str) if not isinstance(local, str) else local
+    except (TypeError, ValueError):
+        return process_context(active, local)
+    # only the root context (empty active) is cacheable
+    if active.terms or active.vocab is not None or active.language is not None:
+        return process_context(active, local)
+    key = active.base + "\x00" + key
+    hit = _CTX_CACHE.get(key)
+    if hit is not None:
+        return hit.copy()
+    out = process_context(active, local)
+    if len(_CTX_CACHE) < _CTX_CACHE_MAX:
+        _CTX_CACHE[key] = out.copy()
+    return out
+
+
 def expand(document, base: str = "") -> list:
     """Expanded form (list of node objects)."""
     ctx = Context(base)
@@ -366,7 +393,7 @@ def _expand(ctx: Context, active_prop: str | None, element):
 
     # dict
     if "@context" in element:
-        ctx = process_context(ctx, element["@context"])
+        ctx = _process_context_cached(ctx, element["@context"])
 
     result: dict = {}
     for key in sorted(element.keys()):

@@ -156,3 +156,30 @@ class TestFetchJoinShape:
         assert "BroadcastHashJoin" not in plan
         # one exchange per join side, nothing after the join
         assert plan.count("Exchange") == 2
+
+
+class TestAnnDedupPlanShapes:
+    def test_lsh_bucket_join_shape(self, spark):
+        """Banded LSH must join on the bucket key (shuffle per side),
+        never a cartesian/BNL join, and rank with the group-limit
+        pushdown."""
+        from gleaner_spark.operators.ann import lsh_topk
+
+        rows = [(i, [float((i * 7 + j) % 13) for j in range(64)]) for i in range(200)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        plan = lsh_topk(e, k=3, n_planes=8, n_tables=4)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+        assert "hashpartitioning(bucket" in plan
+        assert "WindowGroupLimit" in plan  # top-k pushed below the shuffle
+
+    def test_grid_dedup_single_exchange(self, spark):
+        """Grid tiling: one exchange on the cell key feeding one
+        applyInPandas — no driver collect, no all-pairs join."""
+        from gleaner_spark.operators.dedup import embedding_near_duplicates
+
+        rows = [(i, [float((i * 3 + j) % 7) for j in range(8)]) for i in range(100)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        plan = embedding_near_duplicates(e, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "FlatMapGroupsInPandas" in plan
+        assert "Join" not in plan

@@ -371,7 +371,11 @@ def test_sketch_sharded_and_hash_parity(spark):
 
     from gleaner_spark.operators.sketch import build_bloom, xxh64
 
-    vals = [f"key-{i}" for i in range(300)] + ["", "é-unicode", "a" * 100]
+    # include every XXH64 block-boundary length (stripe=32, lane=8,
+    # word=4, tail bytes) and non-ASCII
+    vals = [f"key-{i}" for i in range(300)] + ["", "é-unicode", "a" * 100] + [
+        "x" * n for n in (1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 65)
+    ]
     df = spark.createDataFrame([(v,) for v in vals], "k string")
     got = {r["k"]: r["h"] for r in df.select("k", F.xxhash64("k").alias("h")).collect()}
     for v in vals:

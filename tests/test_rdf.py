@@ -174,6 +174,7 @@ class TestExpansionSemantics:
         finally:
             rdf._PRELOADED.clear()
             rdf._PRELOADED.update(saved)
+            rdf._CTX_CACHE.clear()
 
     def test_preloaded_rich_context_coerces_id(self):
         """A context document with @type:@id coercions (the published
@@ -195,6 +196,7 @@ class TestExpansionSemantics:
         finally:
             rdf._PRELOADED.clear()
             rdf._PRELOADED.update(saved)
+            rdf._CTX_CACHE.clear()
 
     def test_lists_and_literals(self):
         doc = {

@@ -62,7 +62,9 @@ def loadavg() -> str:
 
 
 def generate_corpus(n_pages: int) -> str:
-    corpus_dir = os.path.join(tempfile.gettempdir(), f"gleaner-scaling-corpus-{n_pages}")
+    # v2: corpus gained the content_type column — don't reuse a stale
+    # round-1 parquet
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"gleaner-scaling-corpus-v2-{n_pages}")
     if os.path.isdir(corpus_dir) and os.listdir(corpus_dir):
         return corpus_dir
     code = f"""
