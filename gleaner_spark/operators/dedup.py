@@ -82,7 +82,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     universe — standard df-capping; when no shingle exceeds the cap
     the output is bit-identical to the exact variant, pinned by
     test). None = exact (the oracle-contract variant)."""
-    sh = shingle_hashes(docs, id_col, text_col, n)
+    # the (doc_id, sh) set feeds the size count, the df cap, and BOTH
+    # sides of the self-join — compute the tokenize/explode/distinct
+    # chain once and pin it
+    sh = shingle_hashes(docs, id_col, text_col, n).persist()
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("sh")
@@ -90,7 +93,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("df") <= max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(rare, "sh")
+        sh = sh.join(rare, "sh").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # explicit co-partitioning on the join key: the shingle set is
     # byte-small but the self-join is compute-dense, so AQE's
