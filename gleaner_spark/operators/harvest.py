@@ -31,7 +31,6 @@ from pyspark.sql import types as T
 from ..core import extract as ex
 from ..core import fixups as fx
 from ..core import identifier as ident
-from ..core.prov import prov_graph
 from ..sources.config import Source
 from .sketch import BloomSketch, build_bloom, with_might_contain
 
@@ -399,37 +398,44 @@ def documents_table(new_docs: DataFrame, fetched_ts=None) -> DataFrame:
 
 def prov_table(processed: DataFrame, sources: list[Source], bucket: str,
                run_date: str) -> DataFrame:
-    """S28 for every processed doc (pre-dedup, reference quirk)."""
-    meta = {s.name: (s.pid or "unknown", s.proper_name or "unknown", s.domain or "unknown") for s in sources}
-    schema = T.StructType(
-        [
-            T.StructField("source_name", T.StringType()),
-            T.StructField("sha", T.StringType()),
-            T.StructField("url", T.StringType()),
-            T.StructField("prov_jsonld", T.StringType()),
-            T.StructField("prov_sha", T.StringType()),
-            T.StructField("date", T.StringType()),
-        ]
+    """S28 for every processed doc (pre-dedup, reference quirk).
+
+    The prov graph is a static text template with 7 substitutions
+    (prov.go:31-79) — rendered entirely JVM-side (format_string +
+    sha1 inside whole-stage codegen), no Python stage; byte-equality
+    with the driver-side ``prov_graph`` renderer is pinned by test."""
+    import re as _re
+
+    from ..core.prov import PROV_TEMPLATE
+
+    fields = _re.findall(r"%\((\w+)\)s", PROV_TEMPLATE)
+    fmt = _re.sub(r"%\(\w+\)s", "%s", PROV_TEMPLATE)
+
+    def _meta_map(attr: str, default: str):
+        pairs = []
+        for s in sources:
+            pairs += [F.lit(s.name), F.lit(getattr(s, attr) or default)]
+        if not pairs:
+            return F.lit(default)
+        m = F.create_map(*pairs)
+        return F.coalesce(m.getItem(F.col("source_name")), F.lit(default))
+
+    cols = {
+        "PID": _meta_map("pid", "unknown"),
+        "PNAME": _meta_map("proper_name", "unknown"),
+        "DOMAIN": _meta_map("domain", "unknown"),
+        "RESID": F.col("url"),
+        "SHA256": F.col("sha"),  # template names it SHA256; value is SHA-1 (prov.go:88)
+        "DATE": F.lit(run_date),
+        "URN": F.concat_ws(":", F.lit("urn"), F.lit(bucket), F.col("source_name"), F.col("sha")),
+    }
+    prov_doc = F.format_string(fmt, *[cols[name] for name in fields])
+    return (
+        processed.select("source_name", "sha", "url")
+        .withColumn("prov_jsonld", prov_doc)
+        .withColumn("prov_sha", F.sha1(F.col("prov_jsonld")))
+        .withColumn("date", F.lit(run_date))
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in schema.fieldNames()}
-            for row in pdf.itertuples(index=False):
-                pid, pname, domain = meta.get(row.source_name, ("unknown",) * 3)
-                doc, psha, _ = prov_graph(
-                    bucket, row.source_name, row.sha, row.url,
-                    pid=pid, pname=pname, domain=domain, date=run_date,
-                )
-                out["source_name"].append(row.source_name)
-                out["sha"].append(row.sha)
-                out["url"].append(row.url)
-                out["prov_jsonld"].append(doc)
-                out["prov_sha"].append(psha)
-                out["date"].append(run_date)
-            yield pd.DataFrame(out)
-
-    return processed.select("source_name", "sha", "url").mapInPandas(run, schema)
 
 
 def metrics_from_processed(processed: DataFrame, run_id: str) -> DataFrame:

@@ -275,3 +275,27 @@ class TestContentTypeNegotiation:
             u = corpus.url_for(i)
             assert "." not in u.rsplit("/", 1)[-1]  # truly extensionless
             assert rows[u]["jsonld"] == corpus.expected_documents_for_page(i)[0]
+
+
+def test_prov_table_bytes_match_driver_renderer(spark):
+    """The JVM-side format_string prov rendering must be byte-equal to
+    the reference-exact driver renderer (prov_graph), including the
+    SHA-1 object name."""
+    from gleaner_spark.operators.harvest import prov_table
+    from gleaner_spark.sources.config import Source
+
+    srcs = [Source(name="s1", url="https://h1/x", pid="https://pid/1",
+                   proper_name="Org One", domain="https://h1"),
+            Source(name="s2", url="https://h2/x")]  # empty meta → 'unknown'
+    rows = [("s1", "abc123", "https://h1/items/1"),
+            ("s2", "def456", "https://h2/items/2")]
+    df = spark.createDataFrame(rows, "source_name string, sha string, url string")
+    got = {r["sha"]: r for r in prov_table(df, srcs, "gleaner", "2024-01-01").collect()}
+    meta = {"s1": ("https://pid/1", "Org One", "https://h1"),
+            "s2": ("unknown", "unknown", "unknown")}
+    for sname, sha, url in rows:
+        pid, pname, domain = meta[sname]
+        doc, psha, urn = prov_graph("gleaner", sname, sha, url, pid=pid,
+                                    pname=pname, domain=domain, date="2024-01-01")
+        assert got[sha]["prov_jsonld"] == doc
+        assert got[sha]["prov_sha"] == psha
