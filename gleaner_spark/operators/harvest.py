@@ -13,10 +13,17 @@ becomes four declarative stages:
 3. **process** (S17-S26): vectorized fixup chain + SHA-1/SHA-256 +
    identifier dispatch, one Arrow batch at a time.
 4. **dedup + sinks** (S27-S31): Bloom-prefiltered left-anti join
-   against ``url_seen`` on (source_name, sha); appends to documents /
-   prov / metrics lake tables. Prov is emitted for every extracted
-   doc *before* the exists-check, reproducing prov.go's re-put-every-
-   run behavior (jsonutils.go:378 precedes :384).
+   against the seen set on (source_name, unique_id) — the reference
+   names objects ``summoned/<site>/<identifier.UniqueId>.jsonld`` and
+   its StatObject idempotency check therefore keys on UniqueId, not
+   the content hash (jsonutils.go:355-357,384-386); for ``jsonsha``
+   sources UniqueId == content SHA-1, but ``identifiersha``/
+   ``identifierstring`` sources collapse documents sharing the
+   extracted identifier and do NOT re-store changed content under an
+   unchanged identifier. Appends to documents / prov / metrics lake
+   tables. Prov is emitted for every extracted doc *before* the
+   exists-check, reproducing prov.go's re-put-every-run behavior
+   (jsonutils.go:378 precedes :384).
 """
 
 from __future__ import annotations
@@ -265,11 +272,35 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
     return fetched.select(*cols).mapInPandas(run, schema)
 
 
+def _first_per_key(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic within-run winner per identity key: lowest
+    (position, doc_idx) = crawl order, mirroring the reference's
+    serial per-source upload loop where the first PutObject wins and
+    later uploads hit the StatObject skip (jsonutils.go:384-386).
+    groupBy + min_by keeps map-side partial aggregation (a window
+    would sort whole partitions); no ties possible — (position,
+    doc_idx) is unique within a source."""
+    if "position" not in df.columns or "doc_idx" not in df.columns:
+        return df.dropDuplicates([key])
+    others = [c for c in df.columns if c != key]
+    row = F.min_by(F.struct(*others), F.struct("position", "doc_idx"))
+    return df.groupBy(key).agg(row.alias("_r")).select(key, "_r.*")
+
+
 def dedup_new_documents(spark: SparkSession, processed: DataFrame,
                         url_seen: DataFrame | None,
                         expected_seen: int = 1_000_000,
                         sketch: BloomSketch | None = None) -> DataFrame:
-    """S27: Bloom-prefiltered anti-join on (source_name, sha).
+    """S27: Bloom-prefiltered anti-join on (source_name, unique_id).
+
+    The identity key is ``identifier.UniqueId`` — the reference's
+    object name is ``summoned/<site>/<UniqueId>.jsonld`` and the
+    StatObject exists-check keys on it (jsonutils.go:355-357,
+    384-386). For ``jsonsha`` sources UniqueId == content SHA-1; for
+    ``identifiersha``/``identifierstring`` sources two documents
+    sharing the extracted identifier collapse to one stored object
+    and changed content under the same identifier is NOT re-stored.
+    The content ``sha`` stays as an ordinary column.
 
     Bloom negatives are definitely new and skip the shuffle; only
     candidates anti-join the authoritative seen table. Pass a
@@ -277,12 +308,12 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
     build-from-table scan entirely (the 10^10-frontier path — the
     sketch is maintained incrementally across runs)."""
     processed = processed.withColumn(
-        "seen_key", F.concat_ws("/", "source_name", "sha")
+        "seen_key", F.concat_ws("/", "source_name", "unique_id")
     )
     if url_seen is None:
-        return processed.dropDuplicates(["seen_key"]).drop("seen_key")
+        return _first_per_key(processed, "seen_key").drop("seen_key")
     seen_keys = url_seen.select(
-        F.concat_ws("/", "source_name", "sha").alias("seen_key")
+        F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
     )
     if sketch is None:
         sketch = build_bloom(seen_keys, "seen_key", expected=expected_seen)
@@ -290,11 +321,9 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
     definitely_new = tagged.filter(~F.col("maybe_seen"))
     candidates = tagged.filter(F.col("maybe_seen"))
     verified_new = candidates.join(seen_keys, "seen_key", "left_anti")
-    return (
-        definitely_new.unionByName(verified_new)
-        .dropDuplicates(["seen_key"])
-        .drop("seen_key", "maybe_seen")
-    )
+    return _first_per_key(
+        definitely_new.unionByName(verified_new), "seen_key"
+    ).drop("seen_key", "maybe_seen")
 
 
 SKETCH_TABLE = "url_seen_sketch"
@@ -400,6 +429,12 @@ def prov_table(processed: DataFrame, sources: list[Source], bucket: str,
                run_date: str) -> DataFrame:
     """S28 for every processed doc (pre-dedup, reference quirk).
 
+    The ``sha`` handed to the prov template is ``identifier.UniqueId``
+    (Upload passes ``sha := identifier.UniqueId`` to
+    StoreProvNamedGraph, jsonutils.go:355,377), so the SHA256 field,
+    the URN and this table's ``sha`` column all carry the unique_id —
+    equal to the content SHA-1 only for ``jsonsha`` sources.
+
     The prov graph is a static text template with 7 substitutions
     (prov.go:31-79) — rendered entirely JVM-side (format_string +
     sha1 inside whole-stage codegen), no Python stage; byte-equality
@@ -425,16 +460,19 @@ def prov_table(processed: DataFrame, sources: list[Source], bucket: str,
         "PNAME": _meta_map("proper_name", "unknown"),
         "DOMAIN": _meta_map("domain", "unknown"),
         "RESID": F.col("url"),
-        "SHA256": F.col("sha"),  # template names it SHA256; value is SHA-1 (prov.go:88)
+        # template names it SHA256; value is the UniqueId (prov.go:88,
+        # jsonutils.go:355) — SHA-1 of content only for jsonsha sources
+        "SHA256": F.col("unique_id"),
         "DATE": F.lit(run_date),
-        "URN": F.concat_ws(":", F.lit("urn"), F.lit(bucket), F.col("source_name"), F.col("sha")),
+        "URN": F.concat_ws(":", F.lit("urn"), F.lit(bucket), F.col("source_name"), F.col("unique_id")),
     }
     prov_doc = F.format_string(fmt, *[cols[name] for name in fields])
     return (
-        processed.select("source_name", "sha", "url")
+        processed.select("source_name", "unique_id", "url")
         .withColumn("prov_jsonld", prov_doc)
         .withColumn("prov_sha", F.sha1(F.col("prov_jsonld")))
         .withColumn("date", F.lit(run_date))
+        .withColumnRenamed("unique_id", "sha")
     )
 
 

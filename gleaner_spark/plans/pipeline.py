@@ -125,11 +125,12 @@ def run_harvest(
         docs_only = processed.filter(F.col("doc_idx") >= 0)
         _mark("plan", _t)
 
-        # the seen set IS the documents table projection (content-hash
-        # keys, like the reference's object store) — no separate
-        # url_seen table to keep in sync
+        # the seen set IS the documents table projection, keyed on
+        # identifier.UniqueId — the reference's object names and its
+        # StatObject idempotency check (jsonutils.go:355-357,384-386)
+        # — so no separate url_seen table to keep in sync
         seen_src = lake.table("documents").read(spark)
-        seen = seen_src.select("source_name", "sha") if seen_src is not None else None
+        seen = seen_src.select("source_name", "unique_id") if seen_src is not None else None
         # seen-set sketch from the lake checkpoint (north rule): skips
         # the build-from-table scan; only used while under capacity
         sk_entry = hv.load_seen_sketch(lake)
@@ -166,7 +167,7 @@ def run_harvest(
             lake.table("documents").drop_snapshot(snap["snapshot_id"])
         else:
             snap_keys = spark.read.parquet(snap_dir).select(
-                F.concat_ws("/", "source_name", "sha").alias("seen_key")
+                F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
             )
             # the authoritative key set is only needed on the rebuild
             # path when the table PREDATES this run (the incremental
@@ -175,7 +176,7 @@ def run_harvest(
             all_keys = None
             if seen is not None:
                 all_keys = lake.table("documents").read(spark).select(
-                    F.concat_ws("/", "source_name", "sha").alias("seen_key")
+                    F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
                 )
             hv.checkpoint_seen_sketch(
                 spark, lake, snap_keys, sk_entry, res.new_documents, run_id,

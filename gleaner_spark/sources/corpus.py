@@ -37,12 +37,23 @@ SOURCE_NAMES = [f"src{i}" for i in range(N_SOURCES)]
 # ---------------------------------------------------------------------------
 
 
+def _ident_index(i: int) -> int:
+    """Pages with i ≡ 16 (mod 20) reuse the identifier of the page 5
+    earlier — same source (both ≡ 1 mod 5 → src1, the identifiersha
+    source), different content. Exercises the reference's UniqueId
+    collapse: objects are named by identifier.UniqueId
+    (jsonutils.go:355-357), so two documents sharing
+    ``$.identifier.value`` store once but prov twice (the 265/266
+    asymmetry pinned by root_internal_test.go:135-147)."""
+    return i - 5 if i % 20 == 16 else i
+
+
 def _payload(i: int) -> str:
     """A JSON-LD document whose @context shape cycles through the
     fixup-exercising variants."""
     variant = i % 5
     name = f"Dataset number {i}"
-    ident = f"https://doi.example.org/10.5555/{i}"
+    ident = f"https://doi.example.org/10.5555/{_ident_index(i)}"
     if variant == 0:  # canonical https object context
         ctx = '{"@vocab":"https://schema.org/"}'
     elif variant == 1:  # string context → fixContextString

@@ -56,7 +56,7 @@ def incremental_harvest(
         extracted = hv.extract_documents(fetched, {"stream": 0})
         processed = hv.process_documents(extracted, sources)
         seen_src = lake.table("documents").read(spark)
-        seen = seen_src.select("source_name", "sha") if seen_src is not None else None
+        seen = seen_src.select("source_name", "unique_id") if seen_src is not None else None
         new_docs = hv.dedup_new_documents(spark, processed, seen)
         docs_out = hv.documents_table(new_docs)
         if docs_out.limit(1).count():

@@ -287,15 +287,22 @@ def test_prov_table_bytes_match_driver_renderer(spark):
     srcs = [Source(name="s1", url="https://h1/x", pid="https://pid/1",
                    proper_name="Org One", domain="https://h1"),
             Source(name="s2", url="https://h2/x")]  # empty meta → 'unknown'
-    rows = [("s1", "abc123", "https://h1/items/1"),
-            ("s2", "def456", "https://h2/items/2")]
-    df = spark.createDataFrame(rows, "source_name string, sha string, url string")
+    # row 2 has unique_id != content sha (identifiersha-style source):
+    # the template's SHA256/URN must carry the UNIQUE_ID
+    # (jsonutils.go:355,377), not the content hash
+    rows = [("s1", "abc123", "abc123", "https://h1/items/1"),
+            ("s2", "def456", "uid789", "https://h2/items/2")]
+    df = spark.createDataFrame(
+        rows, "source_name string, sha string, unique_id string, url string"
+    )
     got = {r["sha"]: r for r in prov_table(df, srcs, "gleaner", "2024-01-01").collect()}
     meta = {"s1": ("https://pid/1", "Org One", "https://h1"),
             "s2": ("unknown", "unknown", "unknown")}
-    for sname, sha, url in rows:
+    for sname, _sha, uid, url in rows:
         pid, pname, domain = meta[sname]
-        doc, psha, urn = prov_graph("gleaner", sname, sha, url, pid=pid,
+        doc, psha, urn = prov_graph("gleaner", sname, uid, url, pid=pid,
                                     pname=pname, domain=domain, date="2024-01-01")
-        assert got[sha]["prov_jsonld"] == doc
-        assert got[sha]["prov_sha"] == psha
+        # prov table's sha column is the UniqueId (the reference's key)
+        assert got[uid]["prov_jsonld"] == doc
+        assert got[uid]["prov_sha"] == psha
+        assert f"urn:gleaner:{sname}:{uid}" in doc

@@ -29,10 +29,16 @@ def world(spark):
 
 def _expected_new_docs():
     """Independent pure-Python oracle: simulate the whole reference
-    pipeline per page, dedup by (source, sha)."""
+    pipeline per page, dedup by (source, identifier.UniqueId) — the
+    reference's object-name key (jsonutils.go:355-357)."""
+    from gleaner_spark.core import identifier as ident
     from gleaner_spark.core.robots import parse_robots_txt
 
     robots = corpus.build_robots()
+    id_cfg = {
+        s.name: (s.identifier_type, [p for p in [s.identifier_path] if p])
+        for s in corpus.build_sources()
+    }
     seen = set()
     per_source = {}
     for i in range(N_PAGES):
@@ -54,7 +60,9 @@ def _expected_new_docs():
             if d == "":
                 continue
             fixed, sha = fx.process_json(d)
-            key = (source, sha)
+            id_type, id_paths = id_cfg[source]
+            uid = ident.generate_identifier(id_type, id_paths, fixed).unique_id
+            key = (source, uid)
             if key not in seen:
                 seen.add(key)
                 per_source[source] = per_source.get(source, 0) + 1
@@ -73,7 +81,10 @@ def test_harvest_end_to_end(spark, tmp_lake, world):
     expected_seen, expected_per_source = _expected_new_docs()
 
     docs = lake.table("documents").read(spark)
-    got = {(r["source_name"], r["sha"]) for r in docs.select("source_name", "sha").collect()}
+    got = {
+        (r["source_name"], r["unique_id"])
+        for r in docs.select("source_name", "unique_id").collect()
+    }
     assert got == expected_seen
 
     per_source = {
@@ -177,10 +188,59 @@ def test_changed_content_same_url_new_object(spark, tmp_lake, world):
     assert lake.table("documents").read(spark).count() == n1 + 1
 
 
+def test_shared_identifier_collapses_to_one_document_two_prov(spark, tmp_lake, world):
+    """jsonutils.go:355-357,384-386 parity: src1 keys objects on the
+    extracted identifier (identifiersha), so pages 31 and 36 — same
+    ``$.identifier.value`` (corpus._ident_index), different content —
+    collapse to ONE document row while prov is written for BOTH (prov
+    precedes the exists-check, jsonutils.go:377<384; the 265-summoned/
+    266-prov asymmetry of root_internal_test.go:135-147). The stored
+    row is the first in crawl order (page 31)."""
+    from gleaner_spark.core import identifier as ident
+
+    lake = Lake(tmp_lake)
+    run_harvest(spark, lake, world["sources"], world["pages"],
+                world["sitemaps"], world["robots"], run_id="r1")
+    uid = ident.get_sha("https://doi.example.org/10.5555/31")
+    docs = lake.table("documents").read(spark).filter(F.col("unique_id") == uid)
+    rows = docs.collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == corpus.url_for(31)  # first in crawl order wins
+    assert rows[0]["sha"] == fx.sha1_hex(rows[0]["jsonld"])  # content sha kept
+    prov = lake.table("prov").read(spark).filter(F.col("sha") == uid)
+    assert {r["url"] for r in prov.collect()} == {corpus.url_for(31), corpus.url_for(36)}
+
+
+def test_changed_content_same_identifier_not_restored(spark, tmp_lake, world):
+    """Inverse of the changed-content test for an identifiersha
+    source: edited content under an UNCHANGED ``$.identifier.value``
+    keeps the same UniqueId, so the exists-check skips it — no new
+    document row (jsonutils.go:384-386)."""
+    lake = Lake(tmp_lake)
+    run_harvest(spark, lake, world["sources"], world["pages"], world["sitemaps"], world["robots"], run_id="r1")
+    n1 = lake.table("documents").read(spark).count()
+    # page 31 is src1 (identifiersha) and a raw .jsonld body; edit the
+    # description only — the identifier stays put
+    edited = world["pages"].withColumn(
+        "html",
+        F.when(
+            F.col("url") == corpus.url_for(31),
+            F.encode(
+                F.regexp_replace(F.decode("html", "utf-8"), "synthetic record 31 ", "EDITED record 31 "),
+                "utf-8",
+            ),
+        ).otherwise(F.col("html")),
+    )
+    res = run_harvest(spark, lake, world["sources"], edited, world["sitemaps"], world["robots"], run_id="r2")
+    assert res.new_documents == 0
+    assert lake.table("documents").read(spark).count() == n1
+
+
 def test_renamed_source_same_content_redownloads_under_new_name(spark, tmp_lake, world):
-    """Dedup key is (source, sha) — mirrors object naming
-    summoned/<source>/<sha>.jsonld (jsonutils.go:357): same content
-    under a renamed source IS stored again under the new prefix."""
+    """Dedup key is (source, UniqueId) — mirrors object naming
+    summoned/<source>/<UniqueId>.jsonld (jsonutils.go:355-357): same
+    content under a renamed source IS stored again under the new
+    prefix."""
     lake = Lake(tmp_lake)
     run_harvest(spark, lake, world["sources"], world["pages"], world["sitemaps"], world["robots"], run_id="r1")
     renamed = [s for s in world["sources"]]
@@ -297,7 +357,7 @@ def test_seen_sketch_checkpoint_lifecycle(spark, tmp_lake, world):
     assert n == r1.new_documents and expected >= n
     # every stored key is a member (no false negatives by construction)
     keys = [
-        f"{r['source_name']}/{r['sha']}"
+        f"{r['source_name']}/{r['unique_id']}"
         for r in lake.table("documents").read(spark).collect()
     ]
     assert all(sk.might_contain(k) for k in keys)
