@@ -189,9 +189,16 @@ def _to_rdf_ok(doc: dict) -> bool:
     from . import rdf
 
     try:
+        # fast accept: a doc whose context is known-eligible and whose
+        # body stays inside the proven-safe shape cannot fail expansion
+        # (raise-site inventory in rdf.py) — skip the full walk. The
+        # scan never rejects, so invalid docs still take the real path.
+        if rdf.expand_known_valid(doc):
+            return True
         # every json-gold ToRDF error originates in context processing
         # or expansion; node-map/quad generation is error-free — skip
-        # it in the per-document hot path
+        # it in the per-document hot path (pinned by the differential
+        # test over malformed fixtures in test_rdf.py)
         rdf.expand(doc)
         return True
     except Exception:

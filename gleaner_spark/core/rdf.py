@@ -92,6 +92,7 @@ def preload_context(url_prefixes: list[str], document: dict) -> None:
         _PRELOADED[u.rstrip("/")] = ctx
         _PRELOADED[u.rstrip("/") + "/"] = ctx
     _CTX_CACHE.clear()  # cached contexts may embed stale remote docs
+    _FAST_CTX.clear()  # eligibility can change with the new preloads
 
 
 def _load_remote(url: str) -> dict:
@@ -342,6 +343,117 @@ def _process_context_cached(active: Context, local) -> Context:
     if len(_CTX_CACHE) < _CTX_CACHE_MAX:
         _CTX_CACHE[key] = out.copy()
     return out
+
+
+# --- fast validity accept path -------------------------------------------
+#
+# The harvest hot path only needs expand()'s SUCCESS/FAILURE verdict
+# (isValid tosses the triples, jsonutils.go:90-92). Every raise site in
+# _expand is reachable only through (a) context processing, (b) a
+# keyword key (or keyword alias) with a bad-typed value, or (c) a term
+# with @container "@language". So a document whose root context is
+# known-eligible and whose body contains no "@"-keys beyond
+# @id:str / @type:str|[str] / @graph provably expands without error —
+# accept it after a cheap structural scan instead of a full expansion.
+# The scan never REJECTS: anything outside the proven-safe shape falls
+# through to the real expand(), so invalid documents are still dropped
+# with reference-identical classification.
+
+_FAST_CTX: dict[str, bool] = {}
+_FAST_CTX_MAX = 512
+
+
+def _context_fast_eligible(local) -> bool:
+    """True iff the root context processes successfully AND its term
+    definitions introduce none of the expansion-time raise sites:
+    keyword aliases (e.g. "id": "@id" — would make plain keys
+    type-checked), @container "@language" (raises on non-string map
+    values), or reverse terms (conservative)."""
+    try:
+        key = local if isinstance(local, str) else json.dumps(
+            local, sort_keys=True, default=str
+        )
+    except (TypeError, ValueError):
+        return False
+    hit = _FAST_CTX.get(key)
+    if hit is not None:
+        return hit
+    try:
+        ctx = _process_context_cached(Context(""), local)
+    except JsonLdError:
+        ok = False  # context itself fails → slow path produces the error
+    else:
+        ok = True
+        for d in ctx.terms.values():
+            if d is None:
+                continue
+            tid = d.get("@id")
+            if isinstance(tid, str) and tid.startswith("@"):
+                ok = False  # keyword alias
+                break
+            if d.get("@container") == "@language" or d.get("reverse"):
+                ok = False
+                break
+    if len(_FAST_CTX) < _FAST_CTX_MAX:
+        _FAST_CTX[key] = ok
+    return ok
+
+
+def _scan_fast(element) -> bool:
+    """True iff expansion of this element can be proven error-free
+    under a fast-eligible context (see raise-site inventory above)."""
+    if isinstance(element, dict):
+        for k, v in element.items():
+            if k.startswith("@"):
+                if k == "@id":
+                    if not isinstance(v, str):
+                        return False
+                elif k == "@type":
+                    if not (isinstance(v, str) or (
+                        isinstance(v, list) and all(isinstance(x, str) for x in v)
+                    )):
+                        return False
+                elif k == "@graph":
+                    if not _scan_fast(v):
+                        return False
+                else:
+                    return False  # @value/@list/@reverse/nested @context/… → slow path
+            elif not _scan_fast(v):
+                return False
+        return True
+    if isinstance(element, list):
+        return all(_scan_fast(x) for x in element)
+    return True  # scalars never raise
+
+
+def expand_known_valid(document) -> bool:
+    """True → ``expand(document, base="")`` provably succeeds; False →
+    unknown, run the real expansion. Never claims invalidity."""
+    if not isinstance(document, dict):
+        return False
+    local = document.get("@context")
+    if local is not None and not _context_fast_eligible(local):
+        return False
+    for k, v in document.items():
+        if k == "@context":
+            continue
+        if k.startswith("@"):
+            if k == "@id":
+                if not isinstance(v, str):
+                    return False
+            elif k == "@type":
+                if not (isinstance(v, str) or (
+                    isinstance(v, list) and all(isinstance(x, str) for x in v)
+                )):
+                    return False
+            elif k == "@graph":
+                if not _scan_fast(v):
+                    return False
+            else:
+                return False
+        elif not _scan_fast(v):
+            return False
+    return True
 
 
 def expand(document, base: str = "") -> list:

@@ -134,6 +134,127 @@ class TestIsValidRdfRejection:
         assert ok is True and err is None
 
 
+_REJECT_DOCS = [
+    '{"@context": 42, "@type": "Thing"}',
+    '{"@context": true, "name": "x"}',
+    '{"@context": {"@vocab": 5}, "name": "x"}',
+    '{"@context": {"term": 17}, "term": "x"}',
+    '{"@context": {"@type": "x"}, "name": "n"}',
+    '{"@context": {"a": {"@id": 5}}, "a": "x"}',
+    '{"@context": {"@vocab": "https://s/"}, "@id": 5}',
+    '{"@context": {"@vocab": "https://s/"}, "@type": 5}',
+    '{"@context": "https://unknown.example/ctx.jsonld", "name": "x"}',
+    '{"@context": {"a":{"@id":"b:x","@container":"@bogus"}}, "a": 1}',
+    '{"@context": {"@vocab": "https://s/"}, "a": {"@value": {"x": 1}}}',
+    '{"@context": {"@vocab": "https://s/"}, "a": {"@value": "v", "@language": 5}}',
+    '{"@context": {"@vocab": "https://s/"}, "a": {"@reverse": "notadict"}}',
+    '{"@context": {"@vocab": "https://s/"}, "a": {"@value": "v", "name": "x"}}',
+    # keyword aliases other than @type fail context processing, like
+    # json-gold's invalid-IRI-mapping error — never reach the fast path
+    '{"@context": {"id": "@id"}, "id": "https://x/1"}',
+    '{"@context": {"type": "@type"}, "type": 5}',  # @type alias, bad value
+]
+
+_ACCEPT_DOCS = [
+    '{"@context": {"@vocab": "https://schema.org/"}, "@type": "Dataset", "name": "x"}',
+    '{"@context": "https://schema.org/", "@type": "Dataset", "name": "x"}',
+    '{"@context": "http://schema.org/", "name": "x"}',
+    '{"@context": ["https://schema.org/", {"dc": "http://purl.org/dc/terms/"}], "dc:title": "t"}',
+    '{"no": "context at all"}',
+    '{"@context": {"type": "@type"}, "type": "Thing"}',  # @type alias → slow path, accepted
+    '{"@context": {"@vocab": "https://s/"}, "a": {"@value": "v", "@language": "en"}}',
+    '{"@context": {"@vocab": "https://s/"}, "a": {"@list": [1, 2]}}',
+    '{"@context": {"@vocab": "https://s/"}, "@graph": [{"@id": "https://x/1", "name": "n"}]}',
+]
+
+
+class TestValidityFastPathDifferential:
+    """The fast accept scan (rdf.expand_known_valid) may only ever
+    short-circuit documents the full expansion would ACCEPT; every
+    rejection must still come from the real expand()."""
+
+    @pytest.mark.parametrize("doc", _REJECT_DOCS)
+    def test_fast_path_never_accepts_invalid(self, doc):
+        obj = json.loads(doc)
+        assert rdf.expand_known_valid(obj) is False
+        ok, _ = is_valid(doc)
+        assert ok is False
+
+    @pytest.mark.parametrize("doc", _ACCEPT_DOCS)
+    def test_fast_verdict_matches_full_expansion(self, doc):
+        obj = json.loads(doc)
+        # full expansion accepts; if the fast path claims validity it
+        # must agree (it may also fall through — that's allowed)
+        rdf.expand(obj)
+        if rdf.expand_known_valid(obj):
+            ok, err = is_valid(doc)
+            assert ok is True and err is None
+
+    def test_hot_corpus_shapes_take_fast_path(self):
+        """The harvest corpus's five @context variants must hit the
+        fast path (that's the throughput win being claimed)."""
+        from gleaner_spark.sources.corpus import _payload
+
+        for i in range(10):
+            assert rdf.expand_known_valid(json.loads(_payload(i))) is True
+
+    def test_property_fast_accept_implies_expand_success(self):
+        """Randomized differential: whenever the scan accepts, the full
+        expansion must succeed."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        keys = st.sampled_from(
+            ["name", "@id", "@type", "@value", "@list", "@graph", "@context",
+             "@language", "id", "type", "description", "schema:thing"]
+        )
+        scalars = st.one_of(st.text(max_size=8), st.integers(), st.booleans(), st.none())
+        trees = st.recursive(
+            scalars,
+            lambda kids: st.one_of(
+                st.lists(kids, max_size=3),
+                st.dictionaries(keys, kids, max_size=4),
+            ),
+            max_leaves=12,
+        )
+        ctxs = st.sampled_from([
+            None, {"@vocab": "https://s/"}, "https://schema.org/",
+            {"id": "@id"}, {"a": {"@container": "@language"}},
+        ])
+
+        @settings(max_examples=300, deadline=None)
+        @given(body=st.dictionaries(keys, trees, max_size=5), ctx=ctxs)
+        def check(body, ctx):
+            doc = dict(body)
+            if ctx is not None:
+                doc["@context"] = ctx
+            if rdf.expand_known_valid(doc):
+                rdf.expand(doc)  # must not raise
+
+        check()
+
+
+class TestExpansionErrorsOnlyAssumption:
+    """_to_rdf_ok validates via expand() alone; pin the assumption that
+    node-map/quad generation never raises where expansion succeeded
+    (ADVICE r2: differential over malformed fixtures)."""
+
+    @pytest.mark.parametrize("doc", _REJECT_DOCS + _ACCEPT_DOCS)
+    def test_to_rdf_agrees_with_expand(self, doc):
+        obj = json.loads(doc)
+        try:
+            rdf.expand(obj)
+            expand_ok = True
+        except Exception:
+            expand_ok = False
+        try:
+            rdf.to_rdf_dataset(obj)
+            full_ok = True
+        except Exception:
+            full_ok = False
+        assert expand_ok == full_ok
+
+
 class TestExpansionSemantics:
     def test_vocab_expansion(self):
         out = rdf.expand({"@context": {"@vocab": "https://s/"}, "name": "x"})
