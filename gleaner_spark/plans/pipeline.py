@@ -80,21 +80,31 @@ def run_harvest(
 
     # ---- Phase 1: frontier (checkpoint 1) ----
     t1 = time.time()
+    from pyspark.sql import Observation
+
     if phase_done("frontier"):
         frontier = lake.table("frontier").read(spark)
         frontier = frontier.filter(F.col("run_id") == run_id).drop("run_id")
+        res.frontier_size = frontier.count()
     else:
         frontier, errors = build_frontier(
             spark, sources, sitemap_bodies, robots_bodies, summoner, rude=rude
         )
         res.errors.extend(errors)
         frontier = schedule_fetches(frontier, scalable=True)
+        # the row count rides the checkpoint write via an Observation —
+        # no separate count job (small-cluster efficiency is made of
+        # removed fixed-cost jobs)
+        fobs = Observation()
         lake.table("frontier").append(
-            frontier.withColumn("run_id", F.lit(run_id)), run_id=run_id
+            frontier.withColumn("run_id", F.lit(run_id)).observe(
+                fobs, F.count(F.lit(1)).alias("n")
+            ),
+            run_id=run_id,
         )
+        res.frontier_size = int(fobs.get["n"])
         frontier = lake.table("frontier").read(spark)
         frontier = frontier.filter(F.col("run_id") == run_id).drop("run_id")
-    res.frontier_size = frontier.count()
     res.timings["frontier"] = time.time() - t1
 
     # ---- Phase 2: fetch/extract/process/dedup/sink (checkpoint 2) ----
@@ -152,8 +162,6 @@ def run_harvest(
         # on the SAME job via an Observation (no second read of the
         # snapshot — one fewer fixed-cost job per run, which is what
         # small-cluster efficiency is made of)
-        from pyspark.sql import Observation
-
         obs = Observation()
         docs_out = docs_out.observe(obs, F.count(F.lit(1)).alias("n"))
         _mark("dedup_plan", _t)

@@ -118,35 +118,67 @@ def run_once(cpus: int, n_pages: int, corpus_dir: str, gate: bool = True) -> dic
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     d = json.loads(line)
     d["load_before"] = load_before
+    # mid-run burst detection (round-2 lesson: the pre-run gate can't
+    # see a neighbour burst that starts mid-run and ruins the sample;
+    # attempt 4 lost 3 of 4 local[8] runs that way). The 1-min loadavg
+    # right after the run ≈ neighbour load DURING the run + this job's
+    # own `cpus` pinned threads; anything well beyond that is a
+    # neighbour burst — flag the sample and exclude it from the
+    # estimators (still published in the raw log).
+    d["load_after"] = loadavg()
+    burst = float(os.environ.get("SCALING_BURST_THRESH", "2.0"))
+    d["burst"] = (float(d["load_after"]) - cpus) > burst
     return d
 
 
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     load_before = loadavg()
     probe = capacity_probe()
     corpus_dir = generate_corpus(n_pages)
+    raw_log = os.path.join(REPO, "BENCH", "scaling_raw.jsonl")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
 
     results: dict[int, list[dict]] = {N_CORES: [], N4_CORES: []}
     # warmup (one per level) + timed runs, interleaved for fairness
     for cpus in (N_CORES, N4_CORES):
         run_once(cpus, n_pages, corpus_dir, gate=False)
-    for _ in range(runs):
+    for i in range(runs):
         for cpus in (N_CORES, N4_CORES):
-            results[cpus].append(run_once(cpus, n_pages, corpus_dir))
+            r = run_once(cpus, n_pages, corpus_dir)
+            results[cpus].append(r)
+            with open(raw_log, "a") as f:
+                f.write(json.dumps({
+                    "n_pages": n_pages, "cpus": cpus, "run": i,
+                    "docs_per_sec": r["docs_per_sec"],
+                    "harvest_s": r["queries"]["harvest"],
+                    "load_before": r["load_before"],
+                    "load_after": r["load_after"], "burst": r["burst"],
+                }) + "\n")
+            print(f"[scaling] run {i} local[{cpus}]: {r['docs_per_sec']} u/s "
+                  f"(load {r['load_before']}->{r['load_after']}"
+                  f"{' BURST' if r['burst'] else ''})", flush=True)
 
+    # estimators over burst-free samples (mid-run neighbour bursts can
+    # only slow a run; see run_once) — fall back to all if a level lost
+    # everything to bursts
+    clean = {
+        cpus: ([r for r in rs if not r["burst"]] or rs)
+        for cpus, rs in results.items()
+    }
+    n_burst = {cpus: sum(1 for r in rs if r["burst"]) for cpus, rs in results.items()}
     med = {
         cpus: statistics.median(r["docs_per_sec"] for r in rs)
-        for cpus, rs in results.items()
+        for cpus, rs in clean.items()
     }
     harvest_med = {
         cpus: statistics.median(r["queries"]["harvest"] for r in rs)
-        for cpus, rs in results.items()
+        for cpus, rs in clean.items()
     }
     best = {
         cpus: max(r["docs_per_sec"] for r in rs)
-        for cpus, rs in results.items()
+        for cpus, rs in clean.items()
     }
     eff_med = (med[N4_CORES] / med[N_CORES]) / 4.0
     eff = (best[N4_CORES] / best[N_CORES]) / 4.0
@@ -171,15 +203,19 @@ def main() -> None:
         f"| 4N | local[{N4_CORES}] | {harvest_med[N4_CORES]:.2f} | {med[N4_CORES]:.1f} | {best[N4_CORES]:.1f} |",
         "",
         f"**Scaling efficiency (least-contended runs) = ({best[N4_CORES]:.1f} / {best[N_CORES]:.1f}) / 4 = {eff:.3f}**",
-        f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}); median-based: {eff_med:.3f}",
+        f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}); median-based: {eff_med:.3f}"
+        f" ({'PASS' if eff_med >= 0.8 else 'FAIL'})",
         "",
         "Estimator note: neighbour load on this shared host can only ever",
         "*slow* a run, never speed it up, so each timed run waits (capped)",
-        "for an idle host window (1-min loadavg <= 1.2) and the fastest of",
-        "N interleaved runs per level is the least-biased estimate of the",
-        "job's true rate (same reasoning as timeit's min-of-N). Every raw",
-        "run and its pre-run loadavg is published below; medians shown for",
-        "comparison.",
+        "for an idle host window, samples that hit a MID-RUN neighbour",
+        f"burst (post-run 1-min loadavg > own cores + 2.0; {n_burst[N_CORES]}/{len(results[N_CORES])} at N,",
+        f"{n_burst[N4_CORES]}/{len(results[N4_CORES])} at 4N this time) are excluded from the",
+        "estimators, and the fastest of the remaining interleaved runs per",
+        "level is the least-biased estimate of the job's true rate (same",
+        "reasoning as timeit's min-of-N). Every raw sample including the",
+        "burst-flagged ones is published below and in BENCH/scaling_raw.jsonl;",
+        "medians over the burst-free pool shown alongside.",
         "",
         "## Why N=2 (not 8): the sandbox machine's real capacity",
         "",
@@ -211,9 +247,9 @@ def main() -> None:
         "bottleneck, shuffle-light plan, uniform bucketing), not network/IO",
         "behavior of a real multi-executor deployment.",
         "",
-        "Raw runs (docs_per_sec @ pre-run loadavg):",
-        f"- local[{N_CORES}]:  {[(r['docs_per_sec'], r['load_before']) for r in results[N_CORES]]}",
-        f"- local[{N4_CORES}]: {[(r['docs_per_sec'], r['load_before']) for r in results[N4_CORES]]}",
+        "Raw runs (docs_per_sec @ pre-run loadavg -> post-run loadavg, *=burst-excluded):",
+        f"- local[{N_CORES}]:  {[(r['docs_per_sec'], r['load_before'], r['load_after'] + ('*' if r['burst'] else '')) for r in results[N_CORES]]}",
+        f"- local[{N4_CORES}]: {[(r['docs_per_sec'], r['load_before'], r['load_after'] + ('*' if r['burst'] else '')) for r in results[N4_CORES]]}",
         "",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
