@@ -84,8 +84,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     test). None = exact (the oracle-contract variant)."""
     # the (doc_id, sh) set feeds the size count, the df cap, and BOTH
     # sides of the self-join — compute the tokenize/explode/distinct
-    # chain once and pin it
-    sh = shingle_hashes(docs, id_col, text_col, n).persist()
+    # chain once and pin it (generation-swapped: a later call releases
+    # this persist, ADVICE r2)
+    from ._cache import swap_persist
+
+    sh = swap_persist("ngram_sh", shingle_hashes(docs, id_col, text_col, n))[0]
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("sh")
@@ -93,7 +96,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("df") <= max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(rare, "sh").persist()
+        sh = swap_persist("ngram_sh_capped", sh.join(rare, "sh"))[0]
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # explicit co-partitioning on the join key: the shingle set is
     # byte-small but the self-join is compute-dense, so AQE's
@@ -175,8 +178,11 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
     Output: verified near-duplicate pairs among LSH candidates. The
     (doc_id, shingle_hash) set feeds BOTH the signatures and the
     verification join — computed once and persisted (tokenize +
-    explode + distinct is the most expensive stage)."""
-    sh = shingle_hashes(docs, id_col, text_col, n).persist()
+    explode + distinct is the most expensive stage; generation-swapped
+    so repeated calls don't accumulate storage, ADVICE r2)."""
+    from ._cache import swap_persist
+
+    sh = swap_persist("minhash_sh", shingle_hashes(docs, id_col, text_col, n))[0]
     sigs = signatures_from_hashes(sh, k)
     cands = lsh_candidate_pairs(sigs, bands, rows)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))

@@ -171,6 +171,14 @@ class TestAnnDedupPlanShapes:
         assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
         assert "hashpartitioning(bucket" in plan
         assert "WindowGroupLimit" in plan  # top-k pushed below the shuffle
+        # VERDICT r2 #4: the bucket self-join must carry IDS ONLY —
+        # the explode that feeds it keeps just vid, so no vector
+        # column rides the N×n_tables bucket exchange (vectors join
+        # back once per side for the rerank)
+        import re
+
+        gen = re.search(r"Generate explode\(keys#\d+\), \[vid#\d+L?\],", plan)
+        assert gen is not None, plan
 
     def test_grid_dedup_single_exchange(self, spark):
         """Grid tiling: one exchange on the cell key feeding one

@@ -329,6 +329,47 @@ class TestIvf:
         b = sorted(map(tuple, ivf_topk(e, k=2, n_centroids=4, iters=1).collect()))
         assert a == b and len(a) > 0
 
+    def test_ivf_hot_cell_salting_bounds_cells_same_result(self, spark):
+        """VERDICT r2 #7: a 10x-skewed synthetic (one tight blob owns
+        ~90% of vectors → one hot k-means cell) must (a) return the
+        exact same top-k with the guard on (salting replicates probes,
+        never drops candidates) and (b) bound the per-(cluster, sub)
+        base-side group so no single rerank task carries the whole hot
+        cell."""
+        import numpy as np
+
+        from gleaner_spark.operators import ann
+
+        rng = np.random.RandomState(11)
+        hot = rng.randn(1, 16) + np.array([[10.0] * 16])
+        rows = []
+        for i in range(180):  # hot blob: tiny spread around one point
+            rows.append((i, (hot[0] + rng.randn(16) * 0.01).astype("float64").tolist()))
+        for i in range(180, 200):  # the rest scatter
+            rows.append((i, rng.randn(16).tolist()))
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        unguarded = sorted(map(tuple, ann.ivf_topk(
+            e, k=2, n_centroids=4, n_probe=2, iters=2).collect()))
+        guarded = sorted(map(tuple, ann.ivf_topk(
+            e, k=2, n_centroids=4, n_probe=2, iters=2, max_cell_size=50).collect()))
+        assert guarded == unguarded and len(guarded) > 0
+
+        # inspect the salted join sides directly: every (cluster, sub)
+        # base group must be ≤ ceil-split of the cap (hash salting is
+        # uneven, allow 2x headroom, but far below the 180-row hot cell)
+        from pyspark.sql import functions as F
+
+        base0 = e.select(F.col("vec_id").alias("vid"), ann._as_double(F.col("embedding")).alias("v"))
+        cents, cached = ann._kmeans_on(base0, 4, 2)
+        probed = ann.assign_clusters(cached, cents, id_col="vid", vec_col="v",
+                                     n_probe=2, out_col="probes")
+        base, probes = ann._salted_cells(probed, 2, 50)
+        sizes = base.groupBy("cluster", "sub").count().collect()
+        cached.unpersist()
+        assert max(r["count"] for r in sizes) <= 100
+        assert len({(r["cluster"], r["sub"]) for r in sizes}) > 4  # hot cell split
+
 
 class TestScalableScheduling:
     def test_salted_rank_matches_plain_window(self, spark):
