@@ -180,6 +180,32 @@ def fix_id(jsonld: str) -> str:
 # validity / graph arrays (jsonutils.go:25-96)
 # ---------------------------------------------------------------------------
 
+_CTX_MAPS_TOKEN: str | None = None
+
+
+def apply_context_maps(maps: dict[str, dict]) -> None:
+    """Install the config's ``contextmaps:`` into the expansion
+    engine's preload map — the runtime equivalent of the reference's
+    caching document loader (ldproc.go:27-62; PreloadWithMapping).
+
+    Safe to call per Arrow batch: applies once per python process and
+    re-applies only if the map set changes (preload_context clears the
+    engine's context caches, so blind re-application would throw the
+    memoization away every batch). Executors never see driver-side
+    preload mutations (each worker imports the module fresh), so the
+    pipeline ships ``maps`` through the mapInPandas closure and calls
+    this inside the worker (ADVICE r2)."""
+    global _CTX_MAPS_TOKEN
+    token = "\x00".join(sorted(maps))
+    if token == _CTX_MAPS_TOKEN:
+        return
+    from . import rdf
+
+    for prefix, doc in maps.items():
+        rdf.preload_context([prefix], doc)
+    _CTX_MAPS_TOKEN = token
+
+
 def _to_rdf_ok(doc: dict) -> bool:
     """The json-gold proc.ToRDF check (jsonutils.go:83-92), served by
     the from-scratch expansion engine in core/rdf.py: a doc whose

@@ -149,11 +149,14 @@ PROCESSED_EXTRA = [
 
 
 def process_documents(extracted: DataFrame, sources: list[Source],
-                      global_strict: bool = False) -> DataFrame:
+                      global_strict: bool = False,
+                      context_maps: dict[str, dict] | None = None) -> DataFrame:
     """S17-S26: fixup chain + hashing + identifier dispatch.
 
     Per-source options ride in a broadcast dict; the heavy work is a
-    single Arrow-batched pass (no per-row Python UDF)."""
+    single Arrow-batched pass (no per-row Python UDF). ``context_maps``
+    (config ``contextmaps:`` → parsed context docs) ships through the
+    closure so executor workers install it (ldproc.go parity)."""
     opts = {
         s.name: (s.fix_context_option, s.identifier_type,
                  [p for p in [s.identifier_path] if p])
@@ -162,6 +165,8 @@ def process_documents(extracted: DataFrame, sources: list[Source],
     schema = T.StructType(list(EXTRACTED_SCHEMA.fields) + PROCESSED_EXTRA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if context_maps:
+            fx.apply_context_maps(context_maps)
         for pdf in batches:
             fixed_col, sha_col, sha256_col = [], [], []
             uid_col, itype_col, mpath_col, mstr_col = [], [], [], []
@@ -190,7 +195,8 @@ def process_documents(extracted: DataFrame, sources: list[Source],
 
 def extract_and_process(fetched: DataFrame, sources: list[Source],
                         headless_wait_by_source: dict[str, int] | None = None,
-                        global_strict: bool = False) -> DataFrame:
+                        global_strict: bool = False,
+                        context_maps: dict[str, dict] | None = None) -> DataFrame:
     """Fused S16-S26: extraction + fixup chain + hashing in ONE Arrow
     pass. Chaining two ``mapInPandas`` calls puts two python runners in
     the same Spark stage (2 workers *per task* — a 2x worker
@@ -217,6 +223,10 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # contextmaps install once per worker process (ldproc.go
+        # parity; shipped via closure — driver globals don't propagate)
+        if context_maps:
+            fx.apply_context_maps(context_maps)
         for pdf in batches:
             out = {k: [] for k in schema.fieldNames()}
 

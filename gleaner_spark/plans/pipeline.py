@@ -55,9 +55,17 @@ def run_harvest(
     global_strict: bool = False,
     resume: bool = False,
     broadcast_frontier_max_rows: int = 500_000,
+    context_maps: dict[str, dict] | None = None,
 ) -> HarvestResult:
     res = HarvestResult(run_id=run_id)
     t0 = time.time()
+    if context_maps:
+        # driver-side install too: org N-Quads expansion (phase 0)
+        # runs on the driver (org.go:54-55 passes contextmaps to
+        # JLD2nq); executors get the maps via the stage closure
+        from ..core.fixups import apply_context_maps
+
+        apply_context_maps(context_maps)
 
     def phase_done(table: str) -> bool:
         snap = lake.table(table).latest_snapshot()
@@ -130,7 +138,9 @@ def run_harvest(
             broadcast_frontier=0 < res.frontier_size <= broadcast_frontier_max_rows,
         )
         hw = {s.name: s.headless_wait for s in sources}
-        processed = hv.extract_and_process(fetched, sources, hw, global_strict)
+        processed = hv.extract_and_process(
+            fetched, sources, hw, global_strict, context_maps=context_maps
+        )
         processed = processed.persist()
         docs_only = processed.filter(F.col("doc_idx") >= 0)
         _mark("plan", _t)
@@ -244,5 +254,6 @@ def harvest_from_config(spark: SparkSession, lake: Lake, cfg: GleanerConfig,
     return run_harvest(
         spark, lake, cfg.sources, pages, sitemap_bodies, robots_bodies,
         summoner=cfg.summoner, bucket=cfg.bucket, rude=cfg.rude,
-        global_strict=cfg.context_strict, **kw,
+        global_strict=cfg.context_strict, context_maps=cfg.context_maps,
+        **kw,
     )

@@ -63,6 +63,11 @@ class GleanerConfig:
     bucket: str = "gleaner"
     rude: bool = False
     context_strict: bool = False
+    # contextmaps: url prefix → parsed context document (the reference
+    # maps prefix → FILE and loads lazily, ldproc.go:17-20,38-47; the
+    # rebuild parses eagerly at config load so executors receive plain
+    # dicts through the stage closure)
+    context_maps: dict[str, dict] = field(default_factory=dict)
 
 
 _YAML_KEYMAP = {
@@ -105,6 +110,42 @@ def load_config(path: str) -> GleanerConfig:
     src_fields = {f.name: f for f in fields(Source)}
     sources = [Source(**_coerce(src_fields, s)) for s in tree.get("sources", [])]
     summ = tree.get("summoner", {}) or {}
+    # contextmaps: [{prefix:, file:}] — the reference resolves files
+    # relative to the PROJECT root (ldproc.go:39-45, projectpath.Root);
+    # without a Go module root, try the config file's directory and
+    # each ancestor (covers both config-relative and root-relative
+    # layouts, e.g. sampleConfigs/*.yml → ../../assets/*.jsonld). A
+    # missing file is a hard error like the reference's "context file
+    # location ... does not exist".
+    import json as _json
+    import os as _os
+
+    def _resolve(fpath: str) -> str | None:
+        if _os.path.isabs(fpath):
+            return fpath if _os.path.exists(fpath) else None
+        d = _os.path.dirname(_os.path.abspath(path))
+        while True:
+            cand = _os.path.join(d, fpath)
+            if _os.path.exists(cand):
+                return cand
+            parent = _os.path.dirname(d)
+            if parent == d:
+                return None
+            d = parent
+
+    cmaps: dict[str, dict] = {}
+    for m in tree.get("contextmaps", []) or []:
+        prefix = str(m.get("prefix", "")).strip()
+        fpath = str(m.get("file", "")).strip()
+        if not prefix or not fpath:
+            continue
+        resolved = _resolve(fpath)
+        if resolved is None:
+            raise FileNotFoundError(
+                f"context file location {fpath} does not exist"
+            )
+        with open(resolved) as cf:
+            cmaps[prefix] = _json.load(cf)
     cfg = GleanerConfig(
         sources=sources,
         summoner=SummonerConfig(
@@ -117,6 +158,7 @@ def load_config(path: str) -> GleanerConfig:
         rude=bool(tree.get("rude", False)),
         context_strict=str((tree.get("context", {}) or {}).get("strict", "")).lower()
         == "true",
+        context_maps=cmaps,
     )
     return cfg
 
