@@ -452,10 +452,12 @@ def _fast_fixups(jsonld: str, ctx: str = HTTPS_CONTEXT) -> str | None:
 
 def context_for_option(fix_context_option: str) -> str:
     """getOptions (jsonutils.go:283-296): https for {https,
-    standardizedHttps} and for strict/unset (the Go zero value of the
-    enum); http for {http, standardizedHttp}. Unknown strings fail
-    Viper's enum unmarshal in the reference and land on the zero
-    value, i.e. https."""
+    standardizedHttps}; http for {http, standardizedHttp}. The Go zero
+    value of ContextOption is Strict (sources.go:21, iota order), and
+    getOptions happens to return the httpsContext string for Strict
+    too — so unset/unknown options (which fail Viper's enum unmarshal
+    and land on the zero value) correctly end up on https, via the
+    Strict branch rather than an https default (ADVICE r2)."""
     if fix_context_option in ("http", "standardizedHttp"):
         return HTTP_CONTEXT
     return HTTPS_CONTEXT

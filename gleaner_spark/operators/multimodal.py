@@ -49,6 +49,15 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+try:  # real codec when the cluster ships it; the sandbox does not
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - sandbox path
+    _PILImage = None
+    HAS_PIL = False
+
+
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB: a real implementation would be e.g. PIL.Image.open →
     resize → np.asarray. Deterministic fake: 16 floats derived from
@@ -62,15 +71,49 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     ].astype(np.float32) / 255.0
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Vectorized decode+featurize over Arrow batches."""
+def _decode_image_pil(payload: bytes) -> np.ndarray | None:
+    """Real decode (import-guarded): grayscale 4×4 thumbnail →
+    FEATURE_DIM floats in [0, 1]. None on undecodable payloads."""
+    import io
+
+    try:
+        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+    except Exception:  # noqa: BLE001 - non-image bytes fall back to the stub
+        return None
+    return (
+        np.asarray(img, dtype=np.float32).reshape(-1)[:FEATURE_DIM] / 255.0
+    )
+
+
+def decode_feature(payload: bytes, codec: str = "stub") -> np.ndarray:
+    """The swap point (VERDICT r2 #8). ``codec``:
+
+    - ``stub``  — deterministic digest features; the oracle-contract
+      variant (DuckDB reproduces the math).
+    - ``pil``   — require the real decoder (raises if absent).
+    - ``auto``  — real decode when PIL is importable AND the payload
+      decodes; digest stub otherwise. Same row contract either way.
+    """
+    if codec == "pil" or (codec == "auto" and HAS_PIL):
+        if not HAS_PIL:
+            raise RuntimeError("codec='pil' requested but PIL is not installed")
+        out = _decode_image_pil(payload)
+        if out is not None and out.size == FEATURE_DIM:
+            return out
+    return _decode_image_stub(payload)
+
+
+def extract_features(media: DataFrame, codec: str = "stub") -> DataFrame:
+    """Vectorized decode+featurize over Arrow batches. ``codec`` picks
+    the decode path (see decode_feature); the oracle entry keeps the
+    default stub so the contract row is engine-reproducible."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, shas, sizes = [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                feats.append(_decode_image_stub(b).tolist())
+                feats.append(decode_feature(b, codec).tolist())
                 shas.append(hashlib.sha1(b).hexdigest())
                 sizes.append(len(b))
             yield pd.DataFrame(

@@ -275,7 +275,13 @@ def with_might_contain(df: DataFrame, key_col: str, sketch: BloomSketch,
                        out_col: str = "maybe_seen") -> DataFrame:
     """Adds a boolean membership column. The key hash is computed
     JVM-side (whole-stage codegen); the pandas UDF only derives probe
-    positions and gathers bits from the broadcast sketch."""
+    positions and gathers bits from the broadcast sketch.
+
+    NULL keys are never members (false): Spark's ``xxhash64(NULL)``
+    returns the seed, which would otherwise probe the sketch at a
+    fixed position and could answer true (ADVICE r2) — the legacy
+    ``might_contain_udf`` returns false for nulls and this must
+    agree."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(sketch.to_bytes())
     holder: dict[str, BloomSketch] = {}
@@ -288,7 +294,12 @@ def with_might_contain(df: DataFrame, key_col: str, sketch: BloomSketch,
             holder["sk"] = sk
         return pd.Series(sk.contains_hashed(h1.to_numpy(dtype=np.int64)))
 
-    return df.withColumn(out_col, probe(F.xxhash64(F.col(key_col))))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(
+            probe(F.xxhash64(F.col(key_col)))
+        ),
+    )
 
 
 def might_contain_udf(spark, sketch: BloomSketch):

@@ -224,8 +224,55 @@ class TestMultimodal:
         row = plan.groupBy("media_id").count().collect()
         assert row  # videos produce frame rows
 
+    @staticmethod
+    def _tiny_png(pixels: bytes = bytes([0, 64, 128, 255])) -> bytes:
+        """Hand-rolled 2x2 grayscale PNG (stdlib only) so the real
+        decode path is exercisable wherever PIL exists."""
+        import struct
+        import zlib
 
-class TestStreaming:
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2, 8-bit gray
+        raw = b"\x00" + pixels[0:2] + b"\x00" + pixels[2:4]  # filter-0 scanlines
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_codec_swap_point(self):
+        """VERDICT r2 #8: decode path behind an import guard — stub
+        contract unchanged, auto falls back on undecodable bytes, and
+        where PIL exists the real decoder produces pixel-derived
+        features from a hand-crafted PNG."""
+        import numpy as np
+        import pytest as _pytest
+
+        from gleaner_spark.operators import multimodal as mm
+
+        garbage = b"not an image at all"
+        assert np.array_equal(
+            mm.decode_feature(garbage, "auto"), mm._decode_image_stub(garbage)
+        )
+        assert np.array_equal(
+            mm.decode_feature(garbage, "stub"), mm._decode_image_stub(garbage)
+        )
+        if not mm.HAS_PIL:
+            with _pytest.raises(RuntimeError, match="PIL"):
+                mm.decode_feature(garbage, "pil")
+            _pytest.skip("PIL not installed in this sandbox — stub paths verified")
+        png = self._tiny_png()
+        real = mm.decode_feature(png, "pil")
+        # first 4 features are the 2x2 pixels resized 4x4 → mean-ish
+        # values in [0,1]; must differ from the digest stub
+        assert not np.array_equal(real, mm._decode_image_stub(png))
+        assert real.min() >= 0.0 and real.max() <= 1.0
     def test_incremental_harvest_available_now(self, spark, tmp_lake):
         import os
         import tempfile

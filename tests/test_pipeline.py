@@ -497,6 +497,24 @@ def test_seen_sketch_stale_lineage_refused(spark, tmp_lake, world):
     assert hv.load_seen_sketch(lake) is None  # falls back to rebuild
 
 
+def test_with_might_contain_null_keys_never_members(spark):
+    """ADVICE r2: xxhash64(NULL) returns the seed, which would probe
+    the sketch at one fixed position — NULL keys must answer false,
+    matching the legacy might_contain_udf contract."""
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.operators.sketch import BloomSketch, with_might_contain
+
+    sk = BloomSketch.empty(expected=100)
+    sk.add_many([f"k{i}" for i in range(100)])  # dense: seed-position likely set
+    df = spark.createDataFrame(
+        [("k1",), (None,), ("absent-xyz",)], "key string"
+    )
+    rows = {r["key"]: r["m"] for r in with_might_contain(df, "key", sk, "m").collect()}
+    assert rows["k1"] is True
+    assert rows[None] is False
+
+
 def test_sketch_sharded_and_hash_parity(spark):
     """n_shards>1 must behave identically, and the python XXH64 mirror
     must be bit-equal to Spark's xxhash64 (build hashes JVM-side,
