@@ -378,15 +378,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.fingerprints(_t(spark, sf, "documents"))
     q["text_fingerprint"] = text_fingerprint
 
+    # ---- ANN: banded multi-table LSH (full oracle: the hyperplanes
+    # are deterministic md5-parity literals, so DuckDB reproduces the
+    # bucket assignment from the same shared plane table) ----
+    def ann_lsh(spark, sf):
+        # 2^8 buckets/table × 4 tables: bucket size stays O(N/2^planes)
+        return ANN.lsh_topk(
+            _t(spark, sf, "embeddings"), k=3, n_planes=8, n_tables=4
+        ).select("query_id", "nbr_id", F.col("rank").cast("int").alias("rank"))
+    q["ann_lsh"] = ann_lsh
+
     # ---- pipeline-only (no SQL oracle → rows-only check) ----
     def harvest_e2e(spark, sf):
         return _run_harvest_df(spark, n_pages=120)
     q["harvest_e2e"] = harvest_e2e
-
-    def ann_lsh(spark, sf):
-        # 2^8 buckets/table × 4 tables: bucket size stays O(N/2^planes)
-        return ANN.lsh_topk(_t(spark, sf, "embeddings"), k=3, n_planes=8, n_tables=4)
-    q["ann_lsh"] = ann_lsh
 
     def ann_ivf(spark, sf):
         return ANN.ivf_topk(
@@ -619,6 +624,43 @@ scored AS (
          list_cosine_similarity(q.v, n.v) AS cos
   FROM e q JOIN e n ON q.vec_id != n.vec_id
   WHERE q.vec_id < 20),
+ranked AS (
+  SELECT query_id, nbr_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, nbr_id, rank FROM ranked WHERE rank <= 3
+"""
+
+    # banded multi-table LSH: the ±1 hyperplanes are deterministic
+    # md5-parity values shared with the Spark operator (same pattern as
+    # the minhash _perm_coeffs literals) — inlined as a VALUES table so
+    # DuckDB reproduces bucket codes, candidate pairs and the rerank
+    from gleaner_spark.operators.ann import _planes as _lsh_planes
+
+    _plane_rows = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (t, p, ", ".join(str(x) for x in row))
+        for t in range(4)
+        for p, row in enumerate(_lsh_planes(64, 8, t))
+    )
+    o["ann_lsh"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+p(t, pl, pv) AS (VALUES {_plane_rows}),
+b AS (
+  SELECT e.vec_id, p.t,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                       THEN CAST(1 AS BIGINT) << p.pl ELSE 0 END) AS BIGINT) AS code
+  FROM e CROSS JOIN p GROUP BY e.vec_id, p.t),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS nbr_id
+  FROM b a JOIN b c ON a.t = c.t AND a.code = c.code AND a.vec_id != c.vec_id),
+scored AS (
+  SELECT pr.query_id, pr.nbr_id, list_cosine_similarity(q.v, n.v) AS cos
+  FROM pairs pr
+  JOIN e q ON q.vec_id = pr.query_id
+  JOIN e n ON n.vec_id = pr.nbr_id),
 ranked AS (
   SELECT query_id, nbr_id,
          CAST(row_number() OVER (PARTITION BY query_id
