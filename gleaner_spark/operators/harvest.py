@@ -288,12 +288,14 @@ def _first_per_key(df: DataFrame, key: str) -> DataFrame:
     serial per-source upload loop where the first PutObject wins and
     later uploads hit the StatObject skip (jsonutils.go:384-386).
     groupBy + min_by keeps map-side partial aggregation (a window
-    would sort whole partitions); no ties possible — (position,
-    doc_idx) is unique within a source."""
+    would sort whole partitions). (position, doc_idx) is unique within
+    a source in the batch pipeline; url breaks ties deterministically
+    for callers that zero the position (streaming micro-batches)."""
     if "position" not in df.columns or "doc_idx" not in df.columns:
         return df.dropDuplicates([key])
     others = [c for c in df.columns if c != key]
-    row = F.min_by(F.struct(*others), F.struct("position", "doc_idx"))
+    order = ["position", "doc_idx"] + (["url"] if "url" in df.columns else [])
+    row = F.min_by(F.struct(*others), F.struct(*order))
     return df.groupBy(key).agg(row.alias("_r")).select(key, "_r.*")
 
 
