@@ -110,6 +110,45 @@ def wait_for_idle(thresh: float, max_wait_s: float) -> None:
         time.sleep(15)
 
 
+_CANARY_SRC = """
+import time
+import numpy as np
+arr = np.arange(4 * 1024 * 1024, dtype=np.uint64)   # 32 MB buffer
+while True:
+    t0 = time.perf_counter()
+    for _ in range(4):
+        arr[::8].sum()                              # touch every cache line
+    print(f"{time.perf_counter() - t0:.6f}", flush=True)
+    time.sleep(3)
+"""
+
+
+class Canary:
+    """Mid-run DRAM-contention probe (attempt-3 lesson: the post-run
+    1-min loadavg misses *sustained moderate* neighbour load — run 1's
+    local[4] sample lost 37% throughput with load_before 0.91 and no
+    burst flag). A ~0.5%-duty-cycle strided-sum worker pinned to a core
+    OUTSIDE the job's pinned set times a fixed 128 MB memory sweep every
+    3 s for the duration of the run; neighbour DRAM pressure shows up
+    directly as sweep slowdown. The per-sample median sweep time is
+    published raw; flagging is relative to the same level's fastest
+    sample (the job itself also slows the canary, and does so more at
+    4N than at N, so cross-level comparisons would be biased)."""
+
+    def __init__(self, core: str):
+        self.proc = subprocess.Popen(
+            ["taskset", "-c", core, sys.executable, "-c", _CANARY_SRC],
+            stdout=subprocess.PIPE, text=True,
+        )
+
+    def stop(self) -> float | None:
+        self.proc.terminate()
+        out, _ = self.proc.communicate()
+        # drop the first sweep (cold buffer/page-faults)
+        dts = [float(l) for l in out.strip().splitlines()[1:] if l.strip()]
+        return round(statistics.median(dts), 6) if dts else None
+
+
 def run_once(cpus: int, n_pages: int, corpus_dir: str, gate: bool = True) -> dict:
     if gate:
         wait_for_idle(
@@ -117,6 +156,7 @@ def run_once(cpus: int, n_pages: int, corpus_dir: str, gate: bool = True) -> dic
             float(os.environ.get("SCALING_IDLE_WAIT_S", "420")),
         )
     load_before = loadavg()
+    canary = Canary(os.environ.get("SCALING_CANARY_CORE", "30"))
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -124,6 +164,9 @@ def run_once(cpus: int, n_pages: int, corpus_dir: str, gate: bool = True) -> dic
         BENCH_HARVEST_PAGES=str(n_pages),
         BENCH_CORPUS_DIR=corpus_dir,
         BENCH_HARVEST_ONLY="1",
+        # one timed harvest per sample: min-of-N happens ACROSS samples
+        # here (interleaved rounds), not inside bench.py
+        BENCH_HARVEST_RUNS="1",
     )
     # pin the whole process tree (JVM task threads, GC/shuffle/IO
     # helpers, python workers) to exactly `cpus` CPUs: unpinned,
@@ -137,6 +180,7 @@ def run_once(cpus: int, n_pages: int, corpus_dir: str, gate: bool = True) -> dic
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     d = json.loads(line)
     d["load_before"] = load_before
+    d["canary_dt"] = canary.stop()
     # mid-run burst detection (round-2 lesson: the pre-run gate can't
     # see a neighbour burst that starts mid-run and ruins the sample;
     # attempt 4 lost 3 of 4 local[8] runs that way). The 1-min loadavg
@@ -175,19 +219,35 @@ def main() -> None:
                     "harvest_s": r["queries"]["harvest"],
                     "load_before": r["load_before"],
                     "load_after": r["load_after"], "burst": r["burst"],
+                    "canary_dt": r["canary_dt"],
                 }) + "\n")
             print(f"[scaling] run {i} local[{cpus}]: {r['docs_per_sec']} u/s "
                   f"(load {r['load_before']}->{r['load_after']}"
                   f"{' BURST' if r['burst'] else ''})", flush=True)
 
-    # estimators over burst-free samples (mid-run neighbour bursts can
-    # only slow a run; see run_once) — fall back to all if a level lost
-    # everything to bursts
-    clean = {
-        cpus: ([r for r in rs if not r["burst"]] or rs)
-        for cpus, rs in results.items()
+    # estimators over clean samples: drop (a) loadavg bursts, (b)
+    # samples whose mid-run canary ran >SCALING_CANARY_TOL slower than
+    # the same level's fastest canary (sustained neighbour DRAM
+    # pressure the loadavg heuristic misses — neighbour load can only
+    # ever slow a run). Fall back to all if a level loses everything.
+    tol = float(os.environ.get("SCALING_CANARY_TOL", "0.15"))
+
+    def _clean(rs):
+        no_burst = [r for r in rs if not r["burst"]] or rs
+        dts = [r["canary_dt"] for r in no_burst if r.get("canary_dt")]
+        if not dts:
+            return no_burst
+        c_min = min(dts)
+        quiet = [
+            r for r in no_burst
+            if r.get("canary_dt") and r["canary_dt"] <= c_min * (1 + tol)
+        ]
+        return quiet or no_burst
+
+    clean = {cpus: _clean(rs) for cpus, rs in results.items()}
+    n_burst = {
+        cpus: len(rs) - len(clean[cpus]) for cpus, rs in results.items()
     }
-    n_burst = {cpus: sum(1 for r in rs if r["burst"]) for cpus, rs in results.items()}
     med = {
         cpus: statistics.median(r["docs_per_sec"] for r in rs)
         for cpus, rs in clean.items()
@@ -242,14 +302,20 @@ def main() -> None:
         "",
         "Estimator note: neighbour load on this shared host can only ever",
         "*slow* a run, never speed it up, so each timed run waits (capped)",
-        "for an idle host window, samples that hit a MID-RUN neighbour",
-        f"burst (post-run 1-min loadavg > own cores + 2.0; {n_burst[N_CORES]}/{len(results[N_CORES])} at N,",
-        f"{n_burst[N4_CORES]}/{len(results[N4_CORES])} at 4N this time) are excluded from the",
-        "estimators, and the fastest of the remaining interleaved runs per",
-        "level is the least-biased estimate of the job's true rate (same",
-        "reasoning as timeit's min-of-N). Every raw sample including the",
-        "burst-flagged ones is published below and in BENCH/scaling_raw.jsonl;",
-        "medians over the burst-free pool shown alongside.",
+        "for an idle host window, and samples that hit mid-run neighbour",
+        "interference are excluded from the estimators (still published).",
+        "Two detectors: (a) post-run 1-min loadavg > own cores + 2.0",
+        "(bursts); (b) a ~0.5%-duty-cycle DRAM canary pinned outside the",
+        "job's cores — a 128 MB strided sweep timed every 3 s during the",
+        f"run; samples whose median sweep ran >{float(os.environ.get('SCALING_CANARY_TOL', '0.15')):.0%} slower than the same",
+        "level's fastest are flagged as contended (the canary is compared",
+        "within-level only, because the job itself slows it more at 4N",
+        f"than at N). Excluded this time: {n_burst[N_CORES]}/{len(results[N_CORES])} at N, {n_burst[N4_CORES]}/{len(results[N4_CORES])} at 4N.",
+        "The fastest of the remaining interleaved runs per level is the",
+        "least-biased estimate of the job's true rate (same reasoning as",
+        "timeit's min-of-N). Every raw sample including the flagged ones",
+        "is published below and in BENCH/scaling_raw.jsonl; medians over",
+        "the clean pool shown alongside.",
         "",
         f"## The machine's two ceilings: why N={N_CORES}, and why the raw number",
         "## cannot reach the bar here",
@@ -291,9 +357,10 @@ def main() -> None:
         "bottleneck, shuffle-light plan, uniform bucketing), not network/IO",
         "behavior of a real multi-executor deployment.",
         "",
-        "Raw runs (docs_per_sec @ pre-run loadavg -> post-run loadavg, *=burst-excluded):",
-        f"- local[{N_CORES}]:  {[(r['docs_per_sec'], r['load_before'], r['load_after'] + ('*' if r['burst'] else '')) for r in results[N_CORES]]}",
-        f"- local[{N4_CORES}]: {[(r['docs_per_sec'], r['load_before'], r['load_after'] + ('*' if r['burst'] else '')) for r in results[N4_CORES]]}",
+        "Raw runs (docs_per_sec @ pre-run loadavg -> post-run loadavg @ canary",
+        "median sweep s, *=excluded from estimators):",
+        f"- local[{N_CORES}]:  {[(r['docs_per_sec'], r['load_before'], r['load_after'], r.get('canary_dt'), '*' if r not in clean[N_CORES] else '') for r in results[N_CORES]]}",
+        f"- local[{N4_CORES}]: {[(r['docs_per_sec'], r['load_before'], r['load_after'], r.get('canary_dt'), '*' if r not in clean[N4_CORES] else '') for r in results[N4_CORES]]}",
         "",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
