@@ -388,16 +388,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("query_id", "nbr_id", F.col("rank").cast("int").alias("rank"))
     q["ann_lsh"] = ann_lsh
 
+    # ---- ANN: IVF (full oracle: k-means is deterministic — lowest-id
+    # init, cosine argmax with lowest-cluster tie-break, means rounded
+    # to 9 decimals each iteration — so DuckDB replays the Lloyd
+    # iterations as chained CTEs) ----
+    def ann_ivf(spark, sf):
+        return ANN.ivf_topk(
+            _t(spark, sf, "embeddings"), k=3, n_centroids=8, n_probe=2, iters=2
+        ).select("query_id", "nbr_id", F.col("rank").cast("int").alias("rank"))
+    q["ann_ivf"] = ann_ivf
+
     # ---- pipeline-only (no SQL oracle → rows-only check) ----
     def harvest_e2e(spark, sf):
         return _run_harvest_df(spark, n_pages=120)
     q["harvest_e2e"] = harvest_e2e
-
-    def ann_ivf(spark, sf):
-        return ANN.ivf_topk(
-            _t(spark, sf, "embeddings"), k=3, n_centroids=8, n_probe=2, iters=2
-        )
-    q["ann_ivf"] = ann_ivf
 
     def multimodal_features(spark, sf):
         from gleaner_spark.operators.multimodal import extract_features, synthetic_media
@@ -666,6 +670,61 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY query_id
                                  ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
   FROM scored)
+SELECT query_id, nbr_id, rank FROM ranked WHERE rank <= 3
+"""
+
+    # IVF: replay the deterministic k-means (init = 8 lowest-id
+    # vectors; per iteration cosine-argmax assignment with the lowest-
+    # cluster tie-break, then element-wise means rounded to 9 decimals
+    # — the same rounding the operator applies so centroids are
+    # partition-order invariant), then the 2-probe/home-cell rerank.
+    _ivf_iter = """
+a{i} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                       c.cluster ASC) AS rn
+    FROM e CROSS JOIN c{prev} c) WHERE rn = 1),
+m{i} AS (
+  SELECT cluster, list(mv ORDER BY p) AS cv
+  FROM (SELECT a.cluster, pos.p, round(avg(a.v[pos.p]), 9) AS mv
+        FROM a{i} a CROSS JOIN pos GROUP BY a.cluster, pos.p)
+  GROUP BY cluster),
+c{i} AS (
+  -- round the fallback too: the operator rounds ALL centroids each
+  -- iteration, so an empty cluster's (raw-init) centroid is rounded
+  -- after iteration 1 as well
+  SELECT c.cluster,
+         list_transform(COALESCE(m.cv, c.cv), x -> round(x, 9)) AS cv
+  FROM c{prev} c LEFT JOIN m{i} m USING (cluster)),"""
+    _ivf_iters = "".join(_ivf_iter.format(i=i, prev=i - 1) for i in (1, 2))
+    o["ann_ivf"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),{_ivf_iters}
+probes AS (
+  SELECT vec_id, v, cluster, rn FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                       c.cluster ASC) AS rn
+    FROM e CROSS JOIN c2 c) WHERE rn <= 2),
+base AS (SELECT vec_id AS nbr_id, v AS nv, cluster FROM probes WHERE rn = 1),
+cand AS (
+  SELECT p.vec_id AS query_id, p.v AS qv, b.nbr_id, b.nv
+  FROM probes p JOIN base b USING (cluster)
+  WHERE p.vec_id != b.nbr_id),
+ranked AS (
+  SELECT query_id, nbr_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY list_cosine_similarity(qv, nv) DESC,
+                       nbr_id ASC) AS INTEGER) AS rank
+  FROM cand)
 SELECT query_id, nbr_id, rank FROM ranked WHERE rank <= 3
 """
 

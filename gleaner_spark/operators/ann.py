@@ -252,7 +252,12 @@ def _kmeans_on(base: DataFrame, n_centroids: int, iters: int):
         new = cents.copy()
         nz = cnt > 0
         new[nz] = sums[nz] / cnt[nz, None]
-        cents = new
+        # round the means so the centroids are invariant to partition
+        # count / partial-sum addition order (float addition is not
+        # associative): the same input yields bit-identical centroids
+        # on local[2] and on a 1000-executor cluster, and the DuckDB
+        # oracle can replay the iteration exactly
+        cents = np.round(new, 9)
     return cents, base
 
 
@@ -274,7 +279,9 @@ def assign_clusters(embeddings: DataFrame, centroids, id_col: str = "vec_id",
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = mn @ cn.T
         if multi:
-            idx = np.argsort(-sims, axis=1)[:, :n_probe]
+            # stable sort: exact-tie probes (duplicate centroids) break
+            # toward the lowest cluster id, deterministically
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             return pd.Series([row.astype("int32").tolist() for row in idx])
         return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
