@@ -94,7 +94,7 @@ def main() -> None:
     # harvest headline: best of BENCH_HARVEST_RUNS fresh-lake runs
     # (default 3 — same min-of-N reasoning as the suite; the scaling
     # harness pins 1, interleaving min-of-N across rounds instead)
-    n_hruns = int(os.environ.get("BENCH_HARVEST_RUNS", "3"))
+    n_hruns = max(1, int(os.environ.get("BENCH_HARVEST_RUNS", "3")))
     best = None
     hloads = []
     for _ in range(n_hruns):

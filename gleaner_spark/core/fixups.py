@@ -183,24 +183,33 @@ def fix_id(jsonld: str) -> str:
 _CTX_MAPS_TOKEN: str | None = None
 
 
-def apply_context_maps(maps: dict[str, dict]) -> None:
+def apply_context_maps(maps: dict[str, dict] | None) -> None:
     """Install the config's ``contextmaps:`` into the expansion
     engine's preload map — the runtime equivalent of the reference's
     caching document loader (ldproc.go:27-62; PreloadWithMapping).
 
     Safe to call per Arrow batch: applies once per python process and
-    re-applies only if the map set changes (preload_context clears the
+    re-applies only if the maps change (preload_context clears the
     engine's context caches, so blind re-application would throw the
-    memoization away every batch). Executors never see driver-side
-    preload mutations (each worker imports the module fresh), so the
-    pipeline ships ``maps`` through the mapInPandas closure and calls
-    this inside the worker (ADVICE r2)."""
+    memoization away every batch). The memo token covers the map
+    CONTENT, not just the prefix names, and a changed/empty map first
+    resets the engine to its built-ins — so a long-lived driver or a
+    reused executor worker serving a second run with different (or
+    no) contextmaps can't validate against the first run's documents.
+    Executors never see driver-side preload mutations (each worker
+    imports the module fresh), so the pipeline ships ``maps`` through
+    the mapInPandas closure and calls this inside the worker
+    (ADVICE r2)."""
     global _CTX_MAPS_TOKEN
-    token = "\x00".join(sorted(maps))
+    maps = maps or {}
+    token = hashlib.sha1(
+        json.dumps(maps, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()
     if token == _CTX_MAPS_TOKEN:
         return
     from . import rdf
 
+    rdf.reset_preloads()
     for prefix, doc in maps.items():
         rdf.preload_context([prefix], doc)
     _CTX_MAPS_TOKEN = token

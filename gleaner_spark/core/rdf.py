@@ -82,6 +82,9 @@ for _u in (
     _PRELOADED[_u] = _SCHEMA_ORG_MINIMAL
 
 
+_BUILTIN_PRELOADED = dict(_PRELOADED)
+
+
 def preload_context(url_prefixes: list[str], document: dict) -> None:
     """Register a parsed context document for the given URLs — the
     equivalent of the reference's contextmaps YAML + caching loader
@@ -93,6 +96,17 @@ def preload_context(url_prefixes: list[str], document: dict) -> None:
         _PRELOADED[u.rstrip("/") + "/"] = ctx
     _CTX_CACHE.clear()  # cached contexts may embed stale remote docs
     _FAST_CTX.clear()  # eligibility can change with the new preloads
+
+
+def reset_preloads() -> None:
+    """Drop every preload_context registration, restoring the
+    built-in schema.org entries only — so a run whose config maps
+    nothing (or maps different documents) doesn't inherit a previous
+    run's contexts in the same python process."""
+    _PRELOADED.clear()
+    _PRELOADED.update(_BUILTIN_PRELOADED)
+    _CTX_CACHE.clear()
+    _FAST_CTX.clear()
 
 
 def _load_remote(url: str) -> dict:

@@ -14,25 +14,42 @@ recompute (unpersist is safe, never wrong).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _LIVE: dict[str, list[DataFrame]] = {}
+# concurrent job submission from multiple driver threads is a normal
+# Spark pattern; without the lock two simultaneous swaps of one tag
+# would both read the old generation and the loser's persisted frame
+# would leak for the application lifetime
+_LOCK = threading.Lock()
 
 
 def swap_persist(tag: str, *dfs: DataFrame) -> list[DataFrame]:
     """Persist ``dfs`` under ``tag``, unpersisting the previous
-    generation registered under the same tag."""
-    for old in _LIVE.get(tag, []):
+    generation registered under the same tag.
+
+    Granularity is deliberately per-TAG, not per-input: alternating
+    calls over different inputs evict each other and recompute — a
+    performance trade that bounds executor storage at one generation
+    per operator, and never a correctness issue (a still-running
+    consumer of an evicted frame just recomputes its lineage)."""
+    with _LOCK:
+        olds = _LIVE.get(tag, [])
+        _LIVE[tag] = news = [df.persist() for df in dfs]
+    for old in olds:
         try:
             old.unpersist()
         except Exception:  # noqa: BLE001 - session may be gone
             pass
-    _LIVE[tag] = [df.persist() for df in dfs]
-    return _LIVE[tag]
+    return news
 
 
 def release(tag: str) -> None:
-    for old in _LIVE.pop(tag, []):
+    with _LOCK:
+        olds = _LIVE.pop(tag, [])
+    for old in olds:
         try:
             old.unpersist()
         except Exception:  # noqa: BLE001

@@ -165,8 +165,9 @@ def process_documents(extracted: DataFrame, sources: list[Source],
     schema = T.StructType(list(EXTRACTED_SCHEMA.fields) + PROCESSED_EXTRA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if context_maps:
-            fx.apply_context_maps(context_maps)
+        # unconditional: an empty/None map must RESET a worker that
+        # installed a previous run's contextmaps (memoized on content)
+        fx.apply_context_maps(context_maps)
         for pdf in batches:
             fixed_col, sha_col, sha256_col = [], [], []
             uid_col, itype_col, mpath_col, mstr_col = [], [], [], []
@@ -224,9 +225,9 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # contextmaps install once per worker process (ldproc.go
-        # parity; shipped via closure — driver globals don't propagate)
-        if context_maps:
-            fx.apply_context_maps(context_maps)
+        # parity; shipped via closure — driver globals don't
+        # propagate). Unconditional: empty/None resets stale installs.
+        fx.apply_context_maps(context_maps)
         for pdf in batches:
             out = {k: [] for k in schema.fieldNames()}
 
@@ -339,6 +340,14 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
 
 
 SKETCH_TABLE = "url_seen_sketch"
+# Version tag for what the sketch keys mean. Bumped when the dedup
+# identity changes (round 3 moved it from content sha to
+# identifier.UniqueId, jsonutils.go:356 parity): a checkpoint built
+# under a different key schema would probe the wrong keyspace —
+# bloom false negatives that skip the authoritative anti-join — so
+# load refuses it (legacy rows have no tag and are refused too) and
+# the caller rebuilds from the documents table.
+SKETCH_KEY_SCHEMA = "source_name/unique_id"
 
 
 def load_seen_sketch(lake) -> tuple[BloomSketch, int, int] | None:
@@ -368,6 +377,8 @@ def load_seen_sketch(lake) -> tuple[BloomSketch, int, int] | None:
     if not files:
         return None
     row = _pq.read_table(files[0]).to_pylist()[0]
+    if row.get("key_schema") != SKETCH_KEY_SCHEMA:
+        return None
     docs_snap = lake.table("documents").latest_snapshot()
     covered = row.get("covers_snapshot_id")
     if covered != ((docs_snap or {}).get("snapshot_id")):
@@ -415,6 +426,7 @@ def checkpoint_seen_sketch(spark: SparkSession, lake, snap_keys: DataFrame,
         [{
             "blob": merged.to_bytes(), "n_keys": n_total, "expected": expected,
             "covers_snapshot_id": covers_snapshot_id,
+            "key_schema": SKETCH_KEY_SCHEMA,
         }],
         run_id=run_id,
     )

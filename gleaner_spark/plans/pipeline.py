@@ -59,13 +59,13 @@ def run_harvest(
 ) -> HarvestResult:
     res = HarvestResult(run_id=run_id)
     t0 = time.time()
-    if context_maps:
-        # driver-side install too: org N-Quads expansion (phase 0)
-        # runs on the driver (org.go:54-55 passes contextmaps to
-        # JLD2nq); executors get the maps via the stage closure
-        from ..core.fixups import apply_context_maps
+    # driver-side install too: org N-Quads expansion (phase 0) runs
+    # on the driver (org.go:54-55 passes contextmaps to JLD2nq);
+    # executors get the maps via the stage closure. Unconditional so
+    # a mapless run resets a previous run's installs in-process.
+    from ..core.fixups import apply_context_maps
 
-        apply_context_maps(context_maps)
+    apply_context_maps(context_maps)
 
     def phase_done(table: str) -> bool:
         snap = lake.table(table).latest_snapshot()

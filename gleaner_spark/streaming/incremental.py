@@ -26,6 +26,7 @@ def incremental_harvest(
     checkpoint_dir: str,
     run_date: str = "2024-01-01",
     bucket: str = "gleaner",
+    context_maps: dict[str, dict] | None = None,
 ):
     """Start an available-now streaming harvest over a directory of
     page parquet drops. Returns the StreamingQuery (await it with
@@ -54,7 +55,12 @@ def incremental_harvest(
             "source_name", F.lit("stream")
         ).withColumn("position", F.lit(0).cast("long"))
         extracted = hv.extract_documents(fetched, {"stream": 0})
-        processed = hv.process_documents(extracted, sources)
+        # same contextmaps as the batch path: without them, executor-
+        # side validity checks would reject documents whose @context
+        # the config maps to a local file, silently diverging the
+        # streaming lake from a batch harvest of the identical pages
+        processed = hv.process_documents(extracted, sources,
+                                         context_maps=context_maps)
         seen_src = lake.table("documents").read(spark)
         seen = seen_src.select("source_name", "unique_id") if seen_src is not None else None
         new_docs = hv.dedup_new_documents(spark, processed, seen)

@@ -401,3 +401,38 @@ class TestFixContextOptionRouting:
         assert json.loads(fx.standardize_context(doc, "standardizedHttp"))["@context"] == fx.STANDARD_HTTP_CONTEXT
         assert json.loads(fx.standardize_context(doc, "standardizedHttps"))["@context"] == fx.STANDARD_HTTPS_CONTEXT
         assert fx.standardize_context(doc, "https") == doc
+
+
+class TestContextMapLifecycle:
+    """apply_context_maps must track map CONTENT and support removal —
+    a long-lived driver (or reused executor worker) serving a second
+    run with different or no contextmaps must not validate against
+    the first run's context documents."""
+
+    PREFIX = "https://ctxswap.example.test/v1"
+
+    def test_content_change_and_reset(self):
+        import json as _json
+
+        from gleaner_spark.core import rdf
+
+        doc = {"@context": self.PREFIX, "name": "x"}
+        try:
+            fx.apply_context_maps(
+                {self.PREFIX: {"@context": {"@vocab": "https://schema.org/"}}})
+            out = _json.dumps(rdf.expand(doc))
+            assert "https://schema.org/name" in out
+            # same prefix, different document: the memo token covers
+            # content, so this must re-install (not hit the old memo)
+            fx.apply_context_maps(
+                {self.PREFIX: {"@context": {"@vocab": "https://other.example/"}}})
+            out = _json.dumps(rdf.expand(doc))
+            assert "https://other.example/name" in out
+            # mapless run in the same process: the preload must be
+            # gone, so the remote context is unresolvable again
+            fx.apply_context_maps(None)
+            ok, _reason = fx.is_valid(_json.dumps(
+                {"@context": self.PREFIX, "@type": "Dataset", "name": "x"}))
+            assert not ok
+        finally:
+            fx.apply_context_maps(None)  # leave builtin-only state

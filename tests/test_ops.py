@@ -273,6 +273,9 @@ class TestMultimodal:
         # values in [0,1]; must differ from the digest stub
         assert not np.array_equal(real, mm._decode_image_stub(png))
         assert real.min() >= 0.0 and real.max() <= 1.0
+
+
+class TestStreaming:
     def test_incremental_harvest_available_now(self, spark, tmp_lake):
         import os
         import tempfile
@@ -516,9 +519,13 @@ def test_bloom_build_is_vectorized_fast():
 
     sk = BloomSketch.empty(expected=2_000_000, fpp=0.01, n_shards=4)
     h = np.random.default_rng(7).integers(-2**63, 2**63 - 1, size=1_000_000, dtype=np.int64)
-    t0 = time.time()
-    sk.add_hashed(h)
-    dt = time.time() - t0
+    # min-of-3: the first pass page-faults the freshly allocated
+    # bitset and this shared host bursts (a python-loop regression
+    # would be minutes, never under the bar even warm)
+    dt = min(
+        [(lambda t0: (sk.add_hashed(h), time.time() - t0)[1])(time.time())
+         for _ in range(3)]
+    )
     assert dt < 10.0  # ≥ 10^5 keys/s even on a loaded host; typ. >10^6
     assert bool(sk.contains_hashed(h[:1000]).all())
 

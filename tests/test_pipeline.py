@@ -497,6 +497,41 @@ def test_seen_sketch_stale_lineage_refused(spark, tmp_lake, world):
     assert hv.load_seen_sketch(lake) is None  # falls back to rebuild
 
 
+def test_seen_sketch_wrong_key_schema_refused(spark, tmp_lake):
+    """Upgrade window: a checkpoint built under a different dedup
+    identity (round 2 keyed on content sha; round 3 keys on
+    identifier UniqueId) probes the wrong keyspace — bloom false
+    negatives that skip the authoritative anti-join and re-append
+    every stored document — so load must refuse it (and pre-
+    versioning rows with no tag at all) and rebuild from the table."""
+    from gleaner_spark.operators import harvest as hv
+    from gleaner_spark.operators.sketch import BloomSketch
+
+    lake = Lake(tmp_lake)
+    lake.table("documents").append_local(
+        [{"source_name": "src1", "url": "u", "sha": "aa", "sha256": "x",
+          "jsonld": "{}", "identifier_type": "identifiersha",
+          "unique_id": "id-1", "matched_path": "", "matched_string": "",
+          "fetched_ts": None}],
+        run_id="d1",
+    )
+    covered = lake.table("documents").latest_snapshot()["snapshot_id"]
+    legacy = BloomSketch.empty(expected=64)
+    base = {"blob": legacy.to_bytes(), "n_keys": 1, "expected": 64,
+            "covers_snapshot_id": covered}
+    # legacy identity, correct lineage: still refused
+    lake.table(hv.SKETCH_TABLE).append_local(
+        [dict(base, key_schema="source_name/sha")], run_id="legacy")
+    assert hv.load_seen_sketch(lake) is None
+    # pre-versioning row (no key_schema field): refused too
+    lake.table(hv.SKETCH_TABLE).append_local([dict(base)], run_id="legacy2")
+    assert hv.load_seen_sketch(lake) is None
+    # current schema tag: accepted
+    lake.table(hv.SKETCH_TABLE).append_local(
+        [dict(base, key_schema=hv.SKETCH_KEY_SCHEMA)], run_id="current")
+    assert hv.load_seen_sketch(lake) is not None
+
+
 def test_with_might_contain_null_keys_never_members(spark):
     """ADVICE r2: xxhash64(NULL) returns the seed, which would probe
     the sketch at one fixed position — NULL keys must answer false,

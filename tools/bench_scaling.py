@@ -156,7 +156,12 @@ def run_once(cpus: int, n_pages: int, corpus_dir: str, gate: bool = True) -> dic
             float(os.environ.get("SCALING_IDLE_WAIT_S", "420")),
         )
     load_before = loadavg()
-    canary = Canary(os.environ.get("SCALING_CANARY_CORE", "30"))
+    # the canary must sit OUTSIDE the job's pinned set (cores
+    # 0..cpus-1) or it times the job itself, not the neighbours
+    canary_core = int(os.environ.get("SCALING_CANARY_CORE", "30"))
+    if canary_core < cpus:
+        canary_core = (os.cpu_count() or cpus + 1) - 1
+    canary = Canary(str(canary_core))
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -198,8 +203,12 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     load_before = loadavg()
-    probe = capacity_probe()
-    mem_probe = capacity_probe(_burn_mem, levels=(1, 2, 4, 8))
+    # always probe the actual N/4N window: a non-default SCALING_N
+    # must not fall through to a fabricated ceiling
+    probe = capacity_probe(
+        levels=tuple(sorted({1, 2, 4, 8, 16, 32, N_CORES, N4_CORES})))
+    mem_probe = capacity_probe(
+        _burn_mem, levels=tuple(sorted({1, 2, 4, 8, N_CORES, N4_CORES})))
     corpus_dir = generate_corpus(n_pages)
     raw_log = os.path.join(REPO, "BENCH", "scaling_raw.jsonl")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -262,10 +271,11 @@ def main() -> None:
     }
     eff_med = (med[N4_CORES] / med[N_CORES]) / 4.0
     eff = (best[N4_CORES] / best[N_CORES]) / 4.0
-    # the machine's own ceiling for memory-bound work over the same
-    # N→4N window (a data pipeline cannot scale past the DRAM bus)
-    mem_ceiling = mem_probe.get(N4_CORES, 4.0) / mem_probe.get(N_CORES, 1.0)
-    cpu_ceiling = probe.get(N4_CORES, 4.0) / probe.get(N_CORES, 1.0)
+    # the machine's own ceilings over the same N→4N window (a data
+    # pipeline cannot scale past the DRAM bus); hard error rather
+    # than a silent made-up number if the probes missed the window
+    mem_ceiling = mem_probe[N4_CORES] / mem_probe[N_CORES]
+    cpu_ceiling = probe[N4_CORES] / probe[N_CORES]
     eff_vs_ceiling = (best[N4_CORES] / best[N_CORES]) / mem_ceiling
     load_after = loadavg()
 
@@ -299,6 +309,7 @@ def main() -> None:
         "real 4N-executor cluster multiplies DRAM channels with nodes. The",
         "job tracks the hardware ceiling, i.e. the PLAN adds no scaling",
         "loss of its own (no serial driver stage, no skewed shuffle).",
+        f"(CPU-bound ceiling over the same window, for contrast: {cpu_ceiling:.2f}x.)",
         "",
         "Estimator note: neighbour load on this shared host can only ever",
         "*slow* a run, never speed it up, so each timed run waits (capped)",
