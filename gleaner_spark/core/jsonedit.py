@@ -37,6 +37,10 @@ _OBJ_STRUCT = re.compile(r'["{}]')
 _ARR_STRUCT = re.compile(r'["\[\]]')
 _TOKEN_END = re.compile(r"[,}\]\s]")
 _NON_WS = re.compile(r"[^ \t\n\r]")
+# a quoted string whose body decodes to itself: no escapes, no control
+# chars (json.loads would reject raw control chars — the fast key
+# decode must reject exactly the same inputs)
+_PLAIN_STR = re.compile(r'^"[^"\\\x00-\x1f]*"$')
 
 
 class JsonEditError(ValueError):
@@ -48,6 +52,10 @@ class JsonEditError(ValueError):
 # ---------------------------------------------------------------------------
 
 def _skip_ws(s: str, i: int) -> int:
+    # fast path: compact JSON (the normal case) has no inter-token
+    # whitespace at all — skip the regex machinery entirely
+    if i < len(s) and s[i] not in " \t\n\r":
+        return i
     m = _NON_WS.search(s, i)
     return m.start() if m else len(s)
 
@@ -131,7 +139,13 @@ def iter_members(s: str, start: int, end: int):
             continue
         kstart = i
         kend = _scan_string(s, i)
-        key = json.loads(s[kstart:kend])
+        raw_key = s[kstart:kend]
+        # escape-free keys (the overwhelming case) decode to their own
+        # body; _PLAIN_STR rejects exactly what json.loads rejects
+        if _PLAIN_STR.match(raw_key):
+            key = raw_key[1:-1]
+        else:
+            key = json.loads(raw_key)
         i = _skip_ws(s, kend)
         if i < end and s[i] == ":":
             _, vstart, vend = _scan_value(s, i + 1)

@@ -182,3 +182,35 @@ def test_process_json_still_matches_chain():
             fixed, sha = fx.process_json(doc, fix_context_option=opt)
             assert fixed == slow_chain(doc, ctx)
             assert sha == fx.sha1_hex(fixed)
+
+
+class TestIterMembersKeyDecode:
+    """The escape-free fast key decode must agree with json.loads on
+    every class of key: plain, escaped, unicode-escaped, and raw
+    control characters (which json.loads REJECTS — the fast path must
+    fall through and reject identically, not silently accept)."""
+
+    def test_escaped_and_plain_keys_agree(self):
+        import json as _json
+
+        from gleaner_spark.core import jsonedit as je
+
+        s = '{"plain":1,"with\\"quote":2,"tab\\there":3,"uni\\u00e9":4,"":5}'
+        _, start, end = je._scan_value(s, 0)
+        keys = [k for k, _ks, _vs, _ve in je.iter_members(s, start, end)]
+        assert keys == ["plain", 'with"quote', "tab\there", "unié", ""]
+        # cross-check every key against json.loads of the raw span
+        i = 0
+        for (k, ks, _vs, ve) in je.iter_members(s, start, end):
+            kend = je._scan_string(s, ks)
+            assert k == _json.loads(s[ks:kend])
+
+    def test_raw_control_char_key_still_rejected(self):
+        import pytest as _pytest
+
+        from gleaner_spark.core import jsonedit as je
+
+        s = '{"bad\nkey":1}'  # literal newline inside the key
+        _, start, end = je._scan_value(s, 0)
+        with _pytest.raises(Exception):
+            list(je.iter_members(s, start, end))
