@@ -36,6 +36,7 @@ from __future__ import annotations
 import hashlib
 import json
 import re
+import threading
 
 from . import jsonedit as je
 
@@ -181,6 +182,15 @@ def fix_id(jsonld: str) -> str:
 # ---------------------------------------------------------------------------
 
 _CTX_MAPS_TOKEN: str | None = None
+# serializes installs: concurrent callers can't interleave the
+# reset_preloads/preload_context sequence and corrupt the engine's
+# preload map. NOTE the broader contract (ADVICE r3): the preload map
+# is process-global state, so two concurrent run_harvest calls with
+# DIFFERENT context_maps in one driver are unsupported — each install
+# would reset the other's preloads mid-run. One harvest run at a time
+# per driver process; executors are safe (maps ship per-stage via the
+# mapInPandas closure and one task runs per worker process).
+_CTX_MAPS_LOCK = threading.Lock()
 
 
 def apply_context_maps(maps: dict[str, dict] | None) -> None:
@@ -205,14 +215,15 @@ def apply_context_maps(maps: dict[str, dict] | None) -> None:
     token = hashlib.sha1(
         json.dumps(maps, sort_keys=True, separators=(",", ":")).encode()
     ).hexdigest()
-    if token == _CTX_MAPS_TOKEN:
-        return
-    from . import rdf
+    with _CTX_MAPS_LOCK:
+        if token == _CTX_MAPS_TOKEN:
+            return
+        from . import rdf
 
-    rdf.reset_preloads()
-    for prefix, doc in maps.items():
-        rdf.preload_context([prefix], doc)
-    _CTX_MAPS_TOKEN = token
+        rdf.reset_preloads()
+        for prefix, doc in maps.items():
+            rdf.preload_context([prefix], doc)
+        _CTX_MAPS_TOKEN = token
 
 
 def _to_rdf_ok(doc: dict) -> bool:

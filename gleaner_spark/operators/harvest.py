@@ -522,28 +522,3 @@ def metrics_from_processed(processed: DataFrame, run_id: str) -> DataFrame:
         )
         .withColumn("run_id", F.lit(run_id))
     )
-
-
-def metrics_table(fetched: DataFrame, processed: DataFrame, run_id: str) -> DataFrame:
-    """North-rule per-partition lineage + fetch/extract metrics (the
-    reference only logs counts, acquire.go:31-33)."""
-    f = (
-        fetched.withColumn("partition_id", F.spark_partition_id())
-        .groupBy("source_name", "partition_id")
-        .agg(
-            F.count("*").alias("fetched"),
-            F.sum(F.length("html")).alias("bytes"),
-        )
-    )
-    e = (
-        processed.groupBy("source_name")
-        .agg(
-            F.count("*").alias("extracted"),
-            F.sum(F.when(F.col("via_fallback"), 1).otherwise(0)).alias("via_fallback"),
-        )
-    )
-    return (
-        f.join(e, "source_name", "left")
-        .na.fill({"extracted": 0, "via_fallback": 0})
-        .withColumn("run_id", F.lit(run_id))
-    )

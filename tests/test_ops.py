@@ -48,6 +48,27 @@ class TestDedup:
         assert (0, 1) in pairs
         assert not any(4 in p or 3 in p for p in pairs)
 
+    def test_simhash_duplicates_groups_colliding_signatures(self, docs):
+        from gleaner_spark.operators.dedup import simhash_duplicates
+
+        got = simhash_duplicates(docs).collect()
+        # docs 0 and 1 are byte-identical → identical signatures
+        assert any(r["keeper_id"] == 0 and r["n_dups"] >= 2 for r in got)
+
+    def test_minhash_signatures_wrapper_matches_two_step(self, docs):
+        from gleaner_spark.operators.dedup import (
+            minhash_signatures,
+            shingle_hashes,
+            signatures_from_hashes,
+        )
+
+        direct = {tuple(r) for r in minhash_signatures(docs, k=8).collect()}
+        two_step = {
+            tuple(r)
+            for r in signatures_from_hashes(shingle_hashes(docs, "doc_id", "text", 3), 8).collect()
+        }
+        assert direct == two_step and len(direct) == 6
+
     def test_simhash_identical_docs_collide(self, docs):
         from gleaner_spark.operators.dedup import simhash
 
@@ -57,6 +78,24 @@ class TestDedup:
         # near-dup → small hamming distance
         ham = bin(sigs[0] ^ sigs[2]).count("1")
         assert ham <= 8
+
+    def test_kmeans_centroids_deterministic_clusters(self, spark):
+        import numpy as np
+
+        from gleaner_spark.operators.ann import kmeans_centroids
+
+        rows = [
+            (0, [1.0, 0.0]), (1, [0.98, 0.02]), (2, [0.99, 0.01]),
+            (3, [0.0, 1.0]), (4, [0.02, 0.98]), (5, [0.01, 0.99]),
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        c1 = kmeans_centroids(e, n_centroids=2, iters=3)
+        c2 = kmeans_centroids(e, n_centroids=2, iters=3)
+        assert np.array_equal(c1, c2)  # bit-deterministic (oracle contract)
+        assert c1.shape == (2, 2)
+        # one centroid per axis-aligned cluster
+        dominant = sorted(int(np.argmax(row)) for row in c1)
+        assert dominant == [0, 1]
 
     def test_embedding_neardup(self, spark):
         from gleaner_spark.operators.dedup import embedding_near_duplicates

@@ -143,7 +143,11 @@ class Canary:
 
     def stop(self) -> float | None:
         self.proc.terminate()
-        out, _ = self.proc.communicate()
+        try:
+            out, _ = self.proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:  # wedged canary must not hang the harness
+            self.proc.kill()
+            out, _ = self.proc.communicate()
         # drop the first sweep (cold buffer/page-faults)
         dts = [float(l) for l in out.strip().splitlines()[1:] if l.strip()]
         return round(statistics.median(dts), 6) if dts else None
@@ -157,11 +161,13 @@ def run_once(cpus: int, n_pages: int, corpus_dir: str, gate: bool = True) -> dic
         )
     load_before = loadavg()
     # the canary must sit OUTSIDE the job's pinned set (cores
-    # 0..cpus-1) or it times the job itself, not the neighbours
+    # 0..cpus-1) or it times the job itself, not the neighbours; on a
+    # box with no spare core (cpus == cpu_count) there is no outside
+    # seat, so skip the canary rather than time the job (ADVICE r3)
     canary_core = int(os.environ.get("SCALING_CANARY_CORE", "30"))
     if canary_core < cpus:
-        canary_core = (os.cpu_count() or cpus + 1) - 1
-    canary = Canary(str(canary_core))
+        canary_core = (os.cpu_count() or 0) - 1
+    canary = Canary(str(canary_core)) if canary_core >= cpus else None
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -185,7 +191,7 @@ def run_once(cpus: int, n_pages: int, corpus_dir: str, gate: bool = True) -> dic
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     d = json.loads(line)
     d["load_before"] = load_before
-    d["canary_dt"] = canary.stop()
+    d["canary_dt"] = canary.stop() if canary is not None else None
     # mid-run burst detection (round-2 lesson: the pre-run gate can't
     # see a neighbour burst that starts mid-run and ruins the sample;
     # attempt 4 lost 3 of 4 local[8] runs that way). The 1-min loadavg
