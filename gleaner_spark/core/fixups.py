@@ -483,12 +483,14 @@ def context_for_option(fix_context_option: str) -> str:
     return HTTPS_CONTEXT
 
 
-def process_json(jsonld: str, fix_context_option: str = "https",
-                 global_strict: bool = False) -> tuple[str, str]:
-    """Apply the fixup chain (unless strict) and return
-    (fixed_jsonld, sha1). Order pinned at jsonutils.go:313-330; the
-    per-source option selects fixContextUrl's canonical schema.org
-    scheme (getOptions, jsonutils.go:283-296)."""
+def process_json_text(jsonld: str, fix_context_option: str = "https",
+                      global_strict: bool = False) -> str:
+    """The fixup chain alone (no hashing) — the hot-path kernel. The
+    harvest operators hash the returned text JVM-side (F.sha1/F.sha2
+    inside whole-stage codegen) instead of per-row Python hashlib.
+    Order pinned at jsonutils.go:313-330; the per-source option selects
+    fixContextUrl's canonical schema.org scheme (getOptions,
+    jsonutils.go:283-296)."""
     strict = global_strict and fix_context_option == "strict"
     if not strict:
         ctx = context_for_option(fix_context_option)
@@ -500,4 +502,13 @@ def process_json(jsonld: str, fix_context_option: str = "https",
             jsonld = fix_id(jsonld)
         else:
             jsonld = fixed
-    return jsonld, sha1_hex(jsonld)
+    return jsonld
+
+
+def process_json(jsonld: str, fix_context_option: str = "https",
+                 global_strict: bool = False) -> tuple[str, str]:
+    """Apply the fixup chain (unless strict) and return
+    (fixed_jsonld, sha1) — the driver-side/reference-exact API; the
+    distributed stages use process_json_text + JVM hashing."""
+    fixed = process_json_text(jsonld, fix_context_option, global_strict)
+    return fixed, sha1_hex(fixed)

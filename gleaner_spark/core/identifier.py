@@ -90,11 +90,13 @@ def get_identifier_by_paths(json_paths: list[str], jsonld: str) -> tuple[list[st
     return [], ""
 
 
-def generate_identifier(identifier_type: str, identifier_paths: list[str], jsonld: str) -> Identifier:
-    """Dispatch equivalent to common/identifier.go's higher-level
-    selection: identifiersha/identifierstring use JSONPath matches,
-    falling back to the file sha when nothing matches."""
-    file_sha = get_sha(jsonld)
+def generate_identifier_deferred(identifier_type: str, identifier_paths: list[str],
+                                 jsonld: str) -> Identifier | None:
+    """The JSONPath half of the identifier dispatch. Returns None when
+    the identity is the content SHA-1 (jsonsha sources, and the
+    no-match fallback of identifier.go:73-89) so a distributed caller
+    can compute that hash JVM-side (F.sha1 in codegen) instead of
+    hashing the full document per-row in Python."""
     if identifier_type in (IDENTIFIER_SHA, IDENTIFIER_STRING) and identifier_paths:
         matches, path = get_identifier_by_paths(identifier_paths, jsonld)
         if matches:
@@ -105,6 +107,17 @@ def generate_identifier(identifier_type: str, identifier_paths: list[str], jsonl
                 identifier_type=identifier_type,
                 matched_path=path,
                 matched_string=matched,
-                json_sha=file_sha,
             )
+    return None
+
+
+def generate_identifier(identifier_type: str, identifier_paths: list[str], jsonld: str) -> Identifier:
+    """Dispatch equivalent to common/identifier.go's higher-level
+    selection: identifiersha/identifierstring use JSONPath matches,
+    falling back to the file sha when nothing matches."""
+    file_sha = get_sha(jsonld)
+    got = generate_identifier_deferred(identifier_type, identifier_paths, jsonld)
+    if got is not None:
+        got.json_sha = file_sha
+        return got
     return Identifier(unique_id=file_sha, identifier_type=JSON_SHA, json_sha=file_sha)

@@ -147,6 +147,41 @@ PROCESSED_EXTRA = [
     T.StructField("matched_string", T.StringType()),
 ]
 
+# what the Arrow stage itself emits: content hashes are NOT computed
+# in Python — _complete_hashes adds them as JVM column expressions
+_PROCESSED_PY_EXTRA = [
+    f for f in PROCESSED_EXTRA if f.name not in ("sha", "sha256")
+]
+
+
+def _complete_hashes(df: DataFrame) -> DataFrame:
+    """S23/S24 content hashing as codegen column expressions.
+
+    The Arrow stage emits ``fixed_jsonld`` plus a null ``unique_id``
+    whenever the identity is the content SHA-1 (jsonsha sources and
+    the no-JSONPath-match fallback, identifier.go:73-112); this stage
+    computes ``sha``/``sha256`` with F.sha1/F.sha2 (UTF-8, byte-equal
+    to hashlib — pinned by test) and coalesces the deferred identity
+    columns. Sentinel rows (doc_idx = -1, zero-doc pages) keep null
+    hashes/identity, as before. Net effect: the per-doc Python kernel
+    no longer hashes the full document text at all (it previously did
+    so three times: SHA-1 in process_json, SHA-1 again in
+    generate_identifier, SHA-256 for the table column)."""
+    is_doc = F.col("doc_idx") >= 0
+    from ..core.identifier import JSON_SHA
+
+    return (
+        df.withColumn("sha", F.when(is_doc, F.sha1(F.col("fixed_jsonld"))))
+        .withColumn("sha256", F.when(is_doc, F.sha2(F.col("fixed_jsonld"), 256)))
+        .withColumn("unique_id", F.when(is_doc, F.coalesce("unique_id", "sha")))
+        .withColumn(
+            "identifier_type",
+            F.when(is_doc, F.coalesce("identifier_type", F.lit(JSON_SHA))),
+        )
+        .withColumn("matched_path", F.when(is_doc, F.coalesce("matched_path", F.lit(""))))
+        .withColumn("matched_string", F.when(is_doc, F.coalesce("matched_string", F.lit(""))))
+    )
+
 
 def process_documents(extracted: DataFrame, sources: list[Source],
                       global_strict: bool = False,
@@ -162,36 +197,38 @@ def process_documents(extracted: DataFrame, sources: list[Source],
                  [p for p in [s.identifier_path] if p])
         for s in sources
     }
-    schema = T.StructType(list(EXTRACTED_SCHEMA.fields) + PROCESSED_EXTRA)
+    py_schema = T.StructType(list(EXTRACTED_SCHEMA.fields) + _PROCESSED_PY_EXTRA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # unconditional: an empty/None map must RESET a worker that
         # installed a previous run's contextmaps (memoized on content)
         fx.apply_context_maps(context_maps)
         for pdf in batches:
-            fixed_col, sha_col, sha256_col = [], [], []
+            fixed_col = []
             uid_col, itype_col, mpath_col, mstr_col = [], [], [], []
             for row in pdf.itertuples(index=False):
                 fix_opt, id_type, id_paths = opts.get(
                     row.source_name, ("https", ident.JSON_SHA, [])
                 )
-                fixed, sha = fx.process_json(row.jsonld, fix_opt, global_strict)
-                identifier = ident.generate_identifier(id_type, id_paths, fixed)
+                fixed = fx.process_json_text(row.jsonld, fix_opt, global_strict)
+                identifier = ident.generate_identifier_deferred(id_type, id_paths, fixed)
                 fixed_col.append(fixed)
-                sha_col.append(sha)
-                sha256_col.append(fx.sha256_hex(fixed))
-                uid_col.append(identifier.unique_id)
-                itype_col.append(identifier.identifier_type)
-                mpath_col.append(identifier.matched_path)
-                mstr_col.append(identifier.matched_string)
+                # None = content-sha identity, completed JVM-side
+                uid_col.append(identifier.unique_id if identifier else None)
+                itype_col.append(identifier.identifier_type if identifier else None)
+                mpath_col.append(identifier.matched_path if identifier else None)
+                mstr_col.append(identifier.matched_string if identifier else None)
             pdf = pdf.assign(
-                fixed_jsonld=fixed_col, sha=sha_col, sha256=sha256_col,
+                fixed_jsonld=fixed_col,
                 unique_id=uid_col, identifier_type=itype_col,
                 matched_path=mpath_col, matched_string=mstr_col,
             )
             yield pdf
 
-    return extracted.mapInPandas(run, schema)
+    out_cols = [f.name for f in EXTRACTED_SCHEMA.fields] + [
+        f.name for f in PROCESSED_EXTRA
+    ]
+    return _complete_hashes(extracted.mapInPandas(run, py_schema)).select(*out_cols)
 
 
 def extract_and_process(fetched: DataFrame, sources: list[Source],
@@ -217,10 +254,10 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
                  [p for p in [s.identifier_path] if p])
         for s in sources
     }
-    schema = T.StructType(
-        list(EXTRACTED_SCHEMA.fields) + PROCESSED_EXTRA
-        + [T.StructField("page_bytes", T.LongType()),
-           T.StructField("page_first", T.BooleanType())]
+    page_fields = [T.StructField("page_bytes", T.LongType()),
+                   T.StructField("page_first", T.BooleanType())]
+    py_schema = T.StructType(
+        list(EXTRACTED_SCHEMA.fields) + _PROCESSED_PY_EXTRA + page_fields
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -229,9 +266,9 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
         # propagate). Unconditional: empty/None resets stale installs.
         fx.apply_context_maps(context_maps)
         for pdf in batches:
-            out = {k: [] for k in schema.fieldNames()}
+            out = {k: [] for k in py_schema.fieldNames()}
 
-            def emit(row, j, d, via_fallback, nbytes, fixed="", sha=None,
+            def emit(row, j, d, via_fallback, nbytes, fixed="",
                      identifier=None, first=False):
                 out["source_name"].append(row.source_name)
                 out["url"].append(row.url)
@@ -240,8 +277,7 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
                 out["jsonld"].append(d)
                 out["via_fallback"].append(via_fallback)
                 out["fixed_jsonld"].append(fixed)
-                out["sha"].append(sha)
-                out["sha256"].append(fx.sha256_hex(fixed) if sha is not None else None)
+                # None = content-sha identity, completed JVM-side
                 out["unique_id"].append(identifier.unique_id if identifier else None)
                 out["identifier_type"].append(identifier.identifier_type if identifier else None)
                 out["matched_path"].append(identifier.matched_path if identifier else None)
@@ -265,12 +301,12 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
                 for j, d in enumerate(docs):
                     if d == "":
                         continue  # UploadWithLogsAndMetadata skips empties
-                    fixed, sha = fx.process_json(d, fix_opt, global_strict)
-                    identifier = ident.generate_identifier(id_type, id_paths, fixed)
+                    fixed = fx.process_json_text(d, fix_opt, global_strict)
+                    identifier = ident.generate_identifier_deferred(id_type, id_paths, fixed)
                     # page_bytes only on the page's first row → plain
                     # sum() counts each page once downstream
                     emit(row, j, d, via_fallback,
-                         nbytes if emitted == 0 else 0, fixed, sha, identifier,
+                         nbytes if emitted == 0 else 0, fixed, identifier,
                          first=emitted == 0)
                     emitted += 1
                 if emitted == 0:
@@ -280,7 +316,14 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
     cols = ["source_name", "url", "position", "html", "text", "content_type"]
     if "content_type" not in fetched.columns:
         fetched = fetched.withColumn("content_type", F.lit(None).cast("string"))
-    return fetched.select(*cols).mapInPandas(run, schema)
+    out_cols = (
+        [f.name for f in EXTRACTED_SCHEMA.fields]
+        + [f.name for f in PROCESSED_EXTRA]
+        + [f.name for f in page_fields]
+    )
+    return _complete_hashes(
+        fetched.select(*cols).mapInPandas(run, py_schema)
+    ).select(*out_cols)
 
 
 def _first_per_key(df: DataFrame, key: str) -> DataFrame:

@@ -343,6 +343,50 @@ class TestStreaming:
         assert lake.table("documents").read(spark).count() == n1
 
 
+class TestJvmHashCompletion:
+    def test_jvm_hashes_byte_equal_to_reference_python(self, spark):
+        """The deferred JVM-side F.sha1/F.sha2 completion must match
+        the reference-exact hashlib path (process_json +
+        generate_identifier) byte-for-byte, including non-ASCII text
+        (UTF-8 on both sides) and identifiersha sources whose
+        unique_id is NOT the content hash."""
+        from gleaner_spark.core import fixups as fx
+        from gleaner_spark.core import identifier as ident
+        from gleaner_spark.operators import harvest as hv
+        from gleaner_spark.sources.config import Source
+
+        docs = [
+            ("jsrc", '{"@context":"http://schema.org/","@type":"Dataset","@id":"x1","name":"café — résumé 中文"}'),
+            ("jsrc", '{"@context":"http://schema.org/","@type":"Dataset","@id":"x2"}'),
+            ("isrc", '{"@context":"http://schema.org/","@type":"Dataset","identifier":"doi:10.1/abç"}'),
+            ("isrc", '{"@context":"http://schema.org/","@type":"Dataset","nope":1}'),  # fallback → jsonsha
+        ]
+        sources = [
+            Source(name="jsrc", url="https://h/x"),
+            Source(name="isrc", url="https://h/y",
+                   identifier_type=ident.IDENTIFIER_SHA,
+                   identifier_path="$.identifier"),
+        ]
+        rows = [(s, f"https://h/{i}", i, i, d, False)
+                for i, (s, d) in enumerate(docs)]
+        extracted = spark.createDataFrame(rows, hv.EXTRACTED_SCHEMA)
+        got = {r["url"]: r for r in hv.process_documents(extracted, sources).collect()}
+        opts = {"jsrc": ("https", ident.JSON_SHA, []),
+                "isrc": ("https", ident.IDENTIFIER_SHA, ["$.identifier"])}
+        for i, (sname, d) in enumerate(docs):
+            fix_opt, id_type, id_paths = opts[sname]
+            fixed, sha = fx.process_json(d, fix_opt)
+            expect = ident.generate_identifier(id_type, id_paths, fixed)
+            r = got[f"https://h/{i}"]
+            assert r["fixed_jsonld"] == fixed
+            assert r["sha"] == sha
+            assert r["sha256"] == fx.sha256_hex(fixed)
+            assert r["unique_id"] == expect.unique_id
+            assert r["identifier_type"] == expect.identifier_type
+            assert r["matched_path"] == expect.matched_path
+            assert r["matched_string"] == expect.matched_string
+
+
 class TestFusedExtractProcess:
     def test_fused_equals_unfused(self, spark):
         from gleaner_spark.operators import harvest as hv
