@@ -85,26 +85,38 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # the (doc_id, sh) set feeds the size count, the df cap, and BOTH
     # sides of the self-join — compute the tokenize/explode/distinct
     # chain once and pin it (generation-swapped: a later call releases
-    # this persist, ADVICE r2)
-    from ._cache import swap_persist
-
-    sh = swap_persist("ngram_sh", shingle_hashes(docs, id_col, text_col, n))[0]
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("sh")
-        )
-        sh = swap_persist("ngram_sh_capped", sh.join(rare, "sh"))[0]
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # explicit co-partitioning on the join key: the shingle set is
-    # byte-small but the self-join is compute-dense, so AQE's
+    # this persist, ADVICE r2; one tag for both variants, so a capped
+    # call releases an uncapped generation and vice versa, ADVICE r3).
+    #
+    # Explicit co-partitioning on the join key either way: the shingle
+    # set is byte-small but the self-join is compute-dense, so AQE's
     # byte-based coalescing would squeeze it onto a few tasks; an
     # explicit repartition pins the width and is reused by BOTH sides
-    # (one exchange, co-partitioned join)
+    # (one exchange, co-partitioned join).
+    from ._cache import swap_persist
+
     par = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
-    sh_p = sh.repartition(par, "sh")
+    sh = shingle_hashes(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        # df-cap folded into the join's own exchange (VERDICT r3 #2):
+        # repartition on sh once, count document frequency with a
+        # window over those partitions (adds a sort, no new exchange —
+        # the old count-agg + left-semi shape paid two extra exchanges
+        # and a second persist), filter, and persist the capped set
+        # already co-partitioned for the self-join below.
+        sh_p = swap_persist(
+            "ngram_sh",
+            sh.repartition(par, "sh")
+            .withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+            .filter(F.col("df") <= max_shingle_df)
+            .drop("df"),
+        )[0]
+        sizes_src = sh_p
+    else:
+        sizes_src = swap_persist("ngram_sh", sh)[0]
+        sh_p = sizes_src.repartition(par, "sh")
+    # Jaccard over the (possibly capped) shingle universe
+    sizes = sizes_src.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh_p.alias("a")
     b = sh_p.alias("b")
     inter = (
