@@ -617,15 +617,18 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+WHERE round(list_cosine_similarity(a.v, b.v), 9) >= 0.35
 """
 
     o["ann_topk"] = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 scored AS (
+  -- cosine rounded to 9 decimals on BOTH sides before ranking
+  -- (ADVICE r3): numpy pairwise vs sequential summation can reorder
+  -- near-tied neighbours at the rank-k boundary
   SELECT q.vec_id AS query_id, n.vec_id AS nbr_id,
-         list_cosine_similarity(q.v, n.v) AS cos
+         round(list_cosine_similarity(q.v, n.v), 9) AS cos
   FROM e q JOIN e n ON q.vec_id != n.vec_id
   WHERE q.vec_id < 20),
 ranked AS (
@@ -653,15 +656,17 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 p(t, pl, pv) AS (VALUES {_plane_rows}),
 b AS (
+  -- sign test on the ROUNDED plane dot, matching lsh_bucket_keys
   SELECT e.vec_id, p.t,
-         CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+         CAST(SUM(CASE WHEN round(list_dot_product(e.v, p.pv), 9) >= 0
                        THEN CAST(1 AS BIGINT) << p.pl ELSE 0 END) AS BIGINT) AS code
   FROM e CROSS JOIN p GROUP BY e.vec_id, p.t),
 pairs AS (
   SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS nbr_id
   FROM b a JOIN b c ON a.t = c.t AND a.code = c.code AND a.vec_id != c.vec_id),
 scored AS (
-  SELECT pr.query_id, pr.nbr_id, list_cosine_similarity(q.v, n.v) AS cos
+  SELECT pr.query_id, pr.nbr_id,
+         round(list_cosine_similarity(q.v, n.v), 9) AS cos
   FROM pairs pr
   JOIN e q ON q.vec_id = pr.query_id
   JOIN e n ON n.vec_id = pr.nbr_id),
@@ -683,7 +688,7 @@ a{i} AS (
   SELECT vec_id, v, cluster FROM (
     SELECT e.vec_id, e.v, c.cluster,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                              ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC,
                                        c.cluster ASC) AS rn
     FROM e CROSS JOIN c{prev} c) WHERE rn = 1),
 m{i} AS (
@@ -711,7 +716,7 @@ probes AS (
   SELECT vec_id, v, cluster, rn FROM (
     SELECT e.vec_id, e.v, c.cluster,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                              ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC,
                                        c.cluster ASC) AS rn
     FROM e CROSS JOIN c2 c) WHERE rn <= 2),
 base AS (SELECT vec_id AS nbr_id, v AS nv, cluster FROM probes WHERE rn = 1),
@@ -722,7 +727,7 @@ cand AS (
 ranked AS (
   SELECT query_id, nbr_id,
          CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY list_cosine_similarity(qv, nv) DESC,
+              ORDER BY round(list_cosine_similarity(qv, nv), 9) DESC,
                        nbr_id ASC) AS INTEGER) AS rank
   FROM cand)
 SELECT query_id, nbr_id, rank FROM ranked WHERE rank <= 3

@@ -39,6 +39,18 @@ def _as_double(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double"))
 
 
+def _rank_window():
+    """Top-k rank ordering on the cosine ROUNDED to 9 decimals (the
+    emitted ``cos`` column stays full precision): near-tied cosines at
+    the rank-k boundary could otherwise reorder between engines whose
+    summation order differs (numpy pairwise vs sequential — ADVICE
+    r3); after rounding, sub-1e-9 differences collapse to an exact tie
+    broken deterministically by nbr_id on both sides."""
+    return Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 9)), F.asc("nbr_id")
+    )
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "vec_id", qvec_col: str = "embedding") -> DataFrame:
@@ -55,7 +67,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("query_id") != F.col("nbr_id"))
         .withColumn("cos", cosine_similarity(F.col("qv"), F.col("nv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    w = _rank_window()
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -85,7 +97,8 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
             F.zip_with(vec_col, lit, lambda a, b: a * b),
             F.lit(0.0), lambda acc, v: acc + v,
         )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        # sign test on the ROUNDED dot (see lsh_bucket_keys)
+        bits.append(F.when(F.round(dot, 9) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
@@ -102,7 +115,13 @@ def lsh_bucket_keys(dim: int, n_planes: int, n_tables: int):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def keys(vs: pd.Series) -> pd.Series:
         m = np.array(vs.tolist(), dtype=np.float64)
-        bits = (m @ pl.T) >= 0.0  # (B, T*P)
+        # sign test on the dot ROUNDED to 9 decimals: numpy's matmul
+        # (SIMD/pairwise summation) and a sequential engine (the DuckDB
+        # oracle's list_dot_product, or Spark's aggregate fold in
+        # lsh_bucket) can disagree in the last ulps, and a dot near 0
+        # would flip the bucket bit between engines (ADVICE r3). Same
+        # fixed-precision trick as the k-means centroid rounding.
+        bits = np.round(m @ pl.T, 9) >= 0.0  # (B, T*P)
         codes = bits.reshape(len(m), n_tables, n_planes).astype(np.int64) @ weights
         return pd.Series(
             [[f"{t}:{codes[b, t]}" for t in range(n_tables)] for b in range(len(m))]
@@ -155,7 +174,7 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 8,
         .join(vecs.select(F.col("vid").alias("query_id"), F.col("v").alias("qv")), "query_id")
         .withColumn("cos", cosine_similarity(F.col("qv"), F.col("nv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    w = _rank_window()
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -229,7 +248,9 @@ def _kmeans_on(base: DataFrame, n_centroids: int, iters: int):
                 m = np.array(pdf["v"].tolist(), dtype=np.float64)
                 if not len(m):
                     continue
-                a = np.argmax(_norm_rows(m) @ cn.T, axis=1)
+                # rounded sims (argmax ties → lowest cluster, matching
+                # the oracle's ORDER BY cos DESC, cluster ASC replay)
+                a = np.argmax(np.round(_norm_rows(m) @ cn.T, 9), axis=1)
                 np.add.at(cnt, a, 1)
                 for cl in np.unique(a):
                     sums[cl] += m[a == cl].sum(axis=0)
@@ -277,7 +298,9 @@ def assign_clusters(embeddings: DataFrame, centroids, id_col: str = "vec_id",
         cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
         m = np.array(vecs.tolist(), dtype=np.float64)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = mn @ cn.T
+        # rounded like the centroids: argmax/argsort over near-tied
+        # similarities must agree with a sequential-summation engine
+        sims = np.round(mn @ cn.T, 9)
         if multi:
             # stable sort: exact-tie probes (duplicate centroids) break
             # toward the lowest cluster id, deterministically
@@ -369,7 +392,7 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
         .filter(F.col("query_id") != F.col("nbr_id"))
         .withColumn("cos", cosine_similarity(F.col("qv"), F.col("nv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    w = _rank_window()
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -312,7 +312,11 @@ def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
         norms[norms == 0] = 1.0
         matn = mat / norms
         if ga == gb:
-            sims = matn @ matn.T
+            # threshold compare on the ROUNDED cosine: numpy's pairwise
+            # summation and a sequential engine (the DuckDB oracle) can
+            # disagree in the last ulps, flipping a cosine sitting
+            # exactly on the threshold (ADVICE r3)
+            sims = np.round(matn @ matn.T, 9)
             ii, jj = np.nonzero(sims >= threshold)
             ia, ib = ids[ii], ids[jj]
             keep = ia < ib  # upper triangle, no self-pairs
@@ -322,7 +326,7 @@ def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
         a_side = (pdf["blk"].to_numpy() == ga)
         if not a_side.any() or a_side.all():
             return empty
-        sims = matn[a_side] @ matn[~a_side].T
+        sims = np.round(matn[a_side] @ matn[~a_side].T, 9)
         ii, jj = np.nonzero(sims >= threshold)
         ia, ib = ids[a_side][ii], ids[~a_side][jj]
         return pd.DataFrame(
