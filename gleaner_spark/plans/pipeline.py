@@ -44,7 +44,7 @@ def run_harvest(
     spark: SparkSession,
     lake: Lake,
     sources: list[Source],
-    pages: DataFrame,
+    pages: DataFrame | None,
     sitemap_bodies: dict[str, str],
     robots_bodies: dict[str, str],
     summoner: SummonerConfig | None = None,
@@ -56,7 +56,15 @@ def run_harvest(
     resume: bool = False,
     broadcast_frontier_max_rows: int = 500_000,
     context_maps: dict[str, dict] | None = None,
+    fetch_mode: str = "pages",
+    live_url_rewrite=None,
+    live_timeout_s: float = 30.0,
 ) -> HarvestResult:
+    """``fetch_mode``: "pages" resolves S15 via the pages-table join
+    (input_hint corpus path; ``pages`` required); "live" fetches the
+    scheduled frontier over HTTP per lane (operators/livefetch.py;
+    ``pages`` may be None, ``live_url_rewrite`` maps logical URLs to
+    the socket dialed — fixture servers, mirrors)."""
     res = HarvestResult(run_id=run_id)
     t0 = time.time()
     # driver-side install too: org N-Quads expansion (phase 0) runs
@@ -133,10 +141,30 @@ def run_harvest(
         # must stay well inside driver/executor memory: 500k rows of
         # (url, host, schedule) is ~50 MB serialized; beyond that the
         # shuffled-hash path (one exchange per side) is the safe plan.
-        fetched = hv.fetch_pages(
-            frontier, pages,
-            broadcast_frontier=0 < res.frontier_size <= broadcast_frontier_max_rows,
-        )
+        live_obs = None
+        if fetch_mode == "live":
+            from ..operators.livefetch import CONTRACT_COLS, live_fetch_pages
+
+            live = live_fetch_pages(
+                frontier,
+                accept_by_source={s.name: s.accept_content_type for s in sources},
+                url_rewrite=live_url_rewrite,
+                timeout_s=live_timeout_s,
+            )
+            # transport-failure count rides the harvest job itself
+            live_obs = Observation()
+            live = live.observe(
+                live_obs,
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
+            )
+            # only transport errors drop a URL; any HTTP status with a
+            # body flows to extraction (acquire.go:146-157 quirk)
+            fetched = live.filter(F.col("ok")).select(*CONTRACT_COLS)
+        else:
+            fetched = hv.fetch_pages(
+                frontier, pages,
+                broadcast_frontier=0 < res.frontier_size <= broadcast_frontier_max_rows,
+            )
         hw = {s.name: s.headless_wait for s in sources}
         processed = hv.extract_and_process(
             fetched, sources, hw, global_strict, context_maps=context_maps
@@ -179,6 +207,10 @@ def run_harvest(
             docs_out, run_id=run_id, partition_by=["source_name"]
         )
         res.new_documents = int(obs.get["n"])
+        if live_obs is not None:
+            n_failed = int(live_obs.get["failed"] or 0)
+            if n_failed:
+                res.errors.append(f"live_fetch: {n_failed} transport failures")
         _mark("documents_append", _t)
         snap_dir = f"{lake.table('documents').dir}/{snap['data_dir']}"
         if res.new_documents == 0:

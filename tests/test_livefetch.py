@@ -1,0 +1,239 @@
+"""Live-fetch mode: the harvest driven end-to-end over real sockets.
+
+The reference's own tests run its fetch stage against a local fixture
+HTTP server (testHelpers/mocks.go:13-37, resources_test.go:23-33);
+these tests do the analog — a ThreadingHTTPServer serving the
+deterministic corpus — and pin:
+
+- live-socket harvest ≡ pages-join harvest (same documents/prov/
+  metrics, byte-identical jsonld),
+- idempotency over sockets (run 2 adds zero documents, prov re-emits —
+  root_internal_test.go:72-106 analog),
+- politeness delays observable in fetch timestamps,
+- per-host in-flight concurrency never exceeds the thread budget,
+- transport failures are counted, skipped, and kill nothing.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from gleaner_spark.operators.frontier import build_frontier, schedule_fetches
+from gleaner_spark.operators.livefetch import live_fetch_pages
+from gleaner_spark.plans.lake import Lake
+from gleaner_spark.plans.pipeline import run_harvest
+from gleaner_spark.sources import corpus
+from gleaner_spark.sources.config import Source
+
+N_PAGES = 120
+
+
+def _path_key(url: str) -> str:
+    """https://geoK.example.org/a/b → /geoK/a/b (the local server path)."""
+    rest = url.split("//", 1)[1]
+    host, _, path = rest.partition("/")
+    return f"/{host.split('.', 1)[0]}/{path}"
+
+
+class _CorpusServer:
+    """Local fixture server: corpus pages by rewritten path, plus an
+    in-flight counter so tests can assert the concurrency budget."""
+
+    def __init__(self, n_pages: int = N_PAGES, latency_s: float = 0.0):
+        routes = {}
+        for i in range(n_pages):
+            html, _ = corpus.html_for(i)
+            routes[_path_key(corpus.url_for(i))] = (
+                corpus.content_type_for(i), html.encode("utf-8")
+            )
+        self.routes = routes
+        self.latency_s = latency_s
+        self.lock = threading.Lock()
+        self.inflight = 0
+        self.max_inflight = 0
+        self.request_log: list[tuple[str, float]] = []
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 - stdlib API
+                with outer.lock:
+                    outer.inflight += 1
+                    outer.max_inflight = max(outer.max_inflight, outer.inflight)
+                    outer.request_log.append((self.path, time.monotonic()))
+                try:
+                    if outer.latency_s:
+                        time.sleep(outer.latency_s)
+                    hit = outer.routes.get(self.path)
+                    if hit is None:
+                        body = b"not found"
+                        self.send_response(404)
+                        self.send_header("Content-Type", "text/plain")
+                    else:
+                        ctype, body = hit
+                        self.send_response(200)
+                        self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                finally:
+                    with outer.lock:
+                        outer.inflight -= 1
+
+            def log_message(self, *a):  # silence per-request stderr
+                pass
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def _rewrite_for(port: int):
+    # self-contained closure: executors can't import the tests module,
+    # so the path logic is inlined rather than calling _path_key
+    def rw(url: str) -> str:
+        rest = url.split("//", 1)[1]
+        host, _, path = rest.partition("/")
+        return f"http://127.0.0.1:{port}/{host.split('.', 1)[0]}/{path}"
+
+    return rw
+
+
+@pytest.fixture(scope="module")
+def server():
+    s = _CorpusServer()
+    yield s
+    s.stop()
+
+
+def _harvest(spark, lake_dir, server, run_id="live-1", **kw):
+    return run_harvest(
+        spark, Lake(lake_dir), corpus.build_sources(), None,
+        corpus.build_sitemaps(N_PAGES), corpus.build_robots(),
+        run_id=run_id, run_date="2024-01-01",
+        fetch_mode="live", live_url_rewrite=_rewrite_for(server.port),
+        **kw,
+    )
+
+
+class TestLiveHarvestE2E:
+    def test_live_socket_harvest_equals_pages_join(self, spark, server, tmp_path):
+        live_lake = str(tmp_path / "live")
+        join_lake = str(tmp_path / "join")
+        res_live = _harvest(spark, live_lake, server)
+        pages = corpus.build_pages(spark, N_PAGES, partitions=4)
+        res_join = run_harvest(
+            spark, Lake(join_lake), corpus.build_sources(), pages,
+            corpus.build_sitemaps(N_PAGES), corpus.build_robots(),
+            run_id="join-1", run_date="2024-01-01",
+        )
+        assert res_live.errors == [] and res_join.errors == []
+        assert res_live.frontier_size == res_join.frontier_size
+        assert res_live.fetched == res_join.fetched
+        assert res_live.extracted == res_join.extracted
+        assert res_live.new_documents == res_join.new_documents > 0
+        key_cols = ["source_name", "url", "sha", "sha256", "unique_id", "jsonld"]
+        a = {tuple(r) for r in Lake(live_lake).table("documents").read(spark).select(*key_cols).collect()}
+        b = {tuple(r) for r in Lake(join_lake).table("documents").read(spark).select(*key_cols).collect()}
+        assert a == b  # byte-identical extraction over real sockets
+        pa = Lake(live_lake).table("prov").read(spark).count()
+        pb = Lake(join_lake).table("prov").read(spark).count()
+        assert pa == pb == res_live.prov_records
+
+    def test_live_rerun_is_idempotent_and_reemits_prov(self, spark, server, tmp_path):
+        """root_internal_test.go:72-106 analog: the second run over the
+        same corpus stores zero new documents; prov re-puts every run
+        (the jsonutils.go:378 quirk)."""
+        lake_dir = str(tmp_path / "lake")
+        r1 = _harvest(spark, lake_dir, server, run_id="live-1")
+        r2 = _harvest(spark, lake_dir, server, run_id="live-2")
+        assert r1.new_documents > 0
+        assert r2.new_documents == 0
+        assert r2.prov_records == r1.prov_records
+        prov_n = Lake(lake_dir).table("prov").read(spark).count()
+        assert prov_n == r1.prov_records + r2.prov_records
+
+
+def _one_host_frontier(spark, server, n_urls, delay_ms=0, threads=1):
+    host = "https://geo0.example.org"
+    locs = "\n".join(
+        f"<url><loc>{host}/items/item{5 * i}</loc></url>" for i in range(n_urls)
+    )
+    sitemap = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"{locs}</urlset>"
+    )
+    src = [Source(name="s", url=f"{host}/sitemap.xml", domain=host,
+                  delay_ms=delay_ms)]
+    from gleaner_spark.sources.config import SummonerConfig
+
+    frontier, errs = build_frontier(
+        spark, src, {f"{host}/sitemap.xml": sitemap}, {},
+        SummonerConfig(threads=threads),
+    )
+    assert errs == []
+    return schedule_fetches(frontier)
+
+
+class TestLivePoliteness:
+    def test_delay_observable_in_fetch_timestamps(self, spark, server):
+        delay_ms = 150
+        frontier = _one_host_frontier(spark, server, 5, delay_ms=delay_ms)
+        rows = live_fetch_pages(
+            frontier, url_rewrite=_rewrite_for(server.port)
+        ).orderBy("fetch_seq").collect()
+        assert [r["ok"] for r in rows] == [True] * 5
+        assert [r["lane"] for r in rows] == [0] * 5  # delay ⇒ one lane
+        gaps = [
+            rows[i + 1]["fetched_at_ms"] - rows[i]["fetched_at_ms"]
+            for i in range(len(rows) - 1)
+        ]
+        # sleep runs after each completion: consecutive starts are at
+        # least the delay apart (minus scheduler jitter)
+        assert all(g >= delay_ms - 10 for g in gaps), gaps
+
+    def test_inflight_never_exceeds_thread_budget(self, spark):
+        srv = _CorpusServer(latency_s=0.05)
+        try:
+            frontier = _one_host_frontier(spark, srv, 24, threads=3)
+            lanes = frontier.select("lane").distinct().count()
+            assert lanes == 3
+            rows = live_fetch_pages(
+                frontier, url_rewrite=_rewrite_for(srv.port)
+            ).collect()
+            assert all(r["ok"] for r in rows) and len(rows) == 24
+            assert srv.max_inflight <= 3  # lane == task == semaphore slot
+        finally:
+            srv.stop()
+
+    def test_transport_failures_are_counted_not_fatal(self, spark, server, tmp_path):
+        """One source's rewrite points at a dead port: its URLs are
+        skipped and counted, every other source harvests normally."""
+        good = _rewrite_for(server.port)
+        dead = _rewrite_for(9)  # port 9 (discard) is closed: refused
+
+        def rw(url):
+            return dead(url) if "geo3" in url else good(url)
+
+        lake_dir = str(tmp_path / "lake")
+        res = run_harvest(
+            spark, Lake(lake_dir), corpus.build_sources(), None,
+            corpus.build_sitemaps(N_PAGES), corpus.build_robots(),
+            run_id="live-f", run_date="2024-01-01",
+            fetch_mode="live", live_url_rewrite=rw,
+        )
+        assert any("transport failures" in e for e in res.errors)
+        docs = Lake(lake_dir).table("documents").read(spark)
+        srcs = {r["source_name"] for r in docs.select("source_name").distinct().collect()}
+        assert "src3" not in srcs
+        assert {"src0", "src1", "src2", "src4"} <= srcs
