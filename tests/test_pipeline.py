@@ -497,6 +497,69 @@ def test_seen_sketch_stale_lineage_refused(spark, tmp_lake, world):
     assert hv.load_seen_sketch(lake) is None  # falls back to rebuild
 
 
+def test_seen_sketch_crash_between_append_and_checkpoint(spark, tmp_lake, world):
+    """Crash injection through the pipeline itself (not a hand-built
+    snapshot): kill run_harvest in the window between the documents
+    append and checkpoint_seen_sketch (pipeline.py's phase-2 commit
+    sequence). The lineage guard must refuse the now-stale sketch, the
+    retry must add ZERO rows via the authoritative anti-join alone,
+    and the next growing run must rebuild a checkpoint covering the
+    whole table."""
+    from gleaner_spark.operators import harvest as hv
+
+    lake = Lake(tmp_lake)
+    r1 = run_harvest(spark, lake, world["sources"], world["pages"],
+                     world["sitemaps"], world["robots"], run_id="cw1")
+    assert hv.load_seen_sketch(lake) is not None
+
+    # grow the corpus so the crashing run really appends a snapshot
+    grown_pages = corpus.build_pages(spark, N_PAGES + 40, partitions=4)
+    grown_maps = corpus.build_sitemaps(N_PAGES + 40)
+
+    real_checkpoint = hv.checkpoint_seen_sketch
+
+    def torn_commit(*a, **k):
+        raise RuntimeError("injected crash: killed before sketch checkpoint")
+
+    hv.checkpoint_seen_sketch = torn_commit
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_harvest(spark, lake, world["sources"], grown_pages,
+                        grown_maps, world["robots"], run_id="cw2")
+    finally:
+        hv.checkpoint_seen_sketch = real_checkpoint
+
+    # the append landed (torn commit), the sketch did not
+    docs_after_crash = lake.table("documents").read(spark).count()
+    assert docs_after_crash > r1.new_documents
+    assert hv.load_seen_sketch(lake) is None  # guard forces rebuild path
+
+    # retry of the crashed run: anti-join authority ⇒ zero new rows
+    r3 = run_harvest(spark, lake, world["sources"], grown_pages,
+                     grown_maps, world["robots"], run_id="cw2-retry")
+    assert r3.new_documents == 0
+    assert lake.table("documents").read(spark).count() == docs_after_crash
+    # zero-row runs drop their snapshot and don't checkpoint: still stale
+    assert hv.load_seen_sketch(lake) is None
+
+    # next growing run rebuilds the sketch from the authoritative table
+    more_pages = corpus.build_pages(spark, N_PAGES + 80, partitions=4)
+    r4 = run_harvest(spark, lake, world["sources"], more_pages,
+                     corpus.build_sitemaps(N_PAGES + 80), world["robots"],
+                     run_id="cw3")
+    assert r4.new_documents > 0
+    entry = hv.load_seen_sketch(lake)
+    assert entry is not None
+    sk, n_keys, _ = entry
+    total = lake.table("documents").read(spark).count()
+    assert n_keys == total  # rebuild counted the whole table, not the delta
+    keys = [
+        f"{r['source_name']}/{r['unique_id']}"
+        for r in lake.table("documents").read(spark).collect()
+    ]
+    assert all(sk.might_contain(k) for k in keys)
+
+
 def test_seen_sketch_wrong_key_schema_refused(spark, tmp_lake):
     """Upgrade window: a checkpoint built under a different dedup
     identity (round 2 keyed on content sha; round 3 keys on
