@@ -1,10 +1,11 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
 The Spark-side contract is real and tested — schemas, partitioning,
-Arrow batch shapes, UDF signatures — while the actual codec calls are
-STUBBED behind ``_decode_image_stub`` (the sandbox has no
-PIL/ffmpeg). Swap the stub for a real decoder on a cluster with the
-libs installed; nothing else changes.
+Arrow batch shapes, UDF signatures — with import-guarded REAL decode
+paths per kind (PIL for image, soundfile/stdlib-wave for audio, PyAV
+for video) and a deterministic digest stub as the fallback + oracle
+contract. On a cluster with the libs installed ``codec='auto'``
+decodes for real; nothing else changes.
 
 Pattern: media rides as ``binary`` + typed metadata columns; decode /
 feature-extract / resize / frame-sample run as ``mapInPandas`` over
@@ -57,6 +58,22 @@ except ImportError:  # pragma: no cover - sandbox path
     _PILImage = None
     HAS_PIL = False
 
+try:  # libsndfile bindings — broad-format audio decode
+    import soundfile as _soundfile
+
+    HAS_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    HAS_SOUNDFILE = False
+
+try:  # PyAV (ffmpeg bindings) — video decode + frame sampling
+    import av as _av
+
+    HAS_AV = True
+except ImportError:
+    _av = None
+    HAS_AV = False
+
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB: a real implementation would be e.g. PIL.Image.open →
@@ -85,21 +102,104 @@ def _decode_image_pil(payload: bytes) -> np.ndarray | None:
     )
 
 
-def decode_feature(payload: bytes, codec: str = "stub") -> np.ndarray:
-    """The swap point (VERDICT r2 #8). ``codec``:
+def _decode_audio(payload: bytes) -> np.ndarray | None:
+    """Real audio decode: ``soundfile`` when importable (any libsndfile
+    format), stdlib ``wave`` as the always-available PCM-WAV fallback.
+    Feature = FEATURE_DIM RMS-energy bins over equal time slices, in
+    [0, 1]. None on undecodable payloads."""
+    import io
+
+    samples = None
+    if HAS_SOUNDFILE:
+        try:
+            data, _sr = _soundfile.read(io.BytesIO(payload), dtype="float32")
+            samples = np.asarray(data, dtype=np.float32)
+            if samples.ndim > 1:
+                samples = samples.mean(axis=1)
+        except Exception:  # noqa: BLE001 - fall through to the wave parser
+            samples = None
+    if samples is None:
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                nch, width = w.getnchannels(), w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+        except Exception:  # noqa: BLE001 - non-WAV bytes fall back to the stub
+            return None
+        if width == 2:
+            arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 1:  # WAV 8-bit is unsigned
+            arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif width == 4:
+            arr = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            return None
+        samples = arr.reshape(-1, nch).mean(axis=1) if nch > 1 else arr
+    if samples.size == 0:
+        return None
+    bins = np.array_split(samples.astype(np.float64) ** 2, FEATURE_DIM)
+    rms = np.array(
+        [np.sqrt(b.mean()) if b.size else 0.0 for b in bins], dtype=np.float32
+    )
+    return np.clip(rms, 0.0, 1.0)
+
+
+def _decode_video_av(payload: bytes) -> np.ndarray | None:
+    """Real video decode (import-guarded): mean gray level of the
+    first FEATURE_DIM decoded frames, zero-padded. None on
+    undecodable payloads."""
+    import io
+
+    try:
+        with _av.open(io.BytesIO(payload)) as container:
+            stream = next(
+                (s for s in container.streams if s.type == "video"), None
+            )
+            if stream is None:
+                return None
+            means: list[float] = []
+            for frame in container.decode(stream):
+                means.append(float(frame.to_ndarray(format="gray").mean()) / 255.0)
+                if len(means) >= FEATURE_DIM:
+                    break
+    except Exception:  # noqa: BLE001 - non-video bytes fall back to the stub
+        return None
+    if not means:
+        return None
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[: len(means)] = means
+    return out
+
+
+def decode_feature(payload: bytes, codec: str = "stub",
+                   kind: str = "image") -> np.ndarray:
+    """The swap point (VERDICT r2 #8, r3 #5). ``codec``:
 
     - ``stub``  — deterministic digest features; the oracle-contract
-      variant (DuckDB reproduces the math).
-    - ``pil``   — require the real decoder (raises if absent).
-    - ``auto``  — real decode when PIL is importable AND the payload
-      decodes; digest stub otherwise. Same row contract either way.
+      variant (DuckDB reproduces the math). Ignores ``kind``.
+    - ``auto``  — real decode per ``kind`` when its codec is present
+      AND the payload decodes; digest stub otherwise. Images need
+      PIL, video needs PyAV; audio always has the stdlib ``wave``
+      fallback (``soundfile`` widens the format coverage when
+      importable). Same row contract either way.
+    - ``pil`` / ``wav`` / ``av`` — require that kind's real decoder
+      (raises if the lib is absent; undecodable payloads still fall
+      back to the stub so one corrupt row can't fail a batch).
     """
-    if codec == "pil" or (codec == "auto" and HAS_PIL):
+    out = None
+    if kind == "image" and (codec == "pil" or (codec == "auto" and HAS_PIL)):
         if not HAS_PIL:
             raise RuntimeError("codec='pil' requested but PIL is not installed")
         out = _decode_image_pil(payload)
-        if out is not None and out.size == FEATURE_DIM:
-            return out
+    elif kind == "audio" and codec in ("wav", "auto"):
+        out = _decode_audio(payload)  # wave is stdlib: always available
+    elif kind == "video" and (codec == "av" or (codec == "auto" and HAS_AV)):
+        if not HAS_AV:
+            raise RuntimeError("codec='av' requested but av is not installed")
+        out = _decode_video_av(payload)
+    if out is not None and out.size == FEATURE_DIM:
+        return out
     return _decode_image_stub(payload)
 
 
@@ -111,9 +211,9 @@ def extract_features(media: DataFrame, codec: str = "stub") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, shas, sizes = [], [], []
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload) if payload is not None else b""
-                feats.append(decode_feature(b, codec).tolist())
+                feats.append(decode_feature(b, codec, kind=kind).tolist())
                 shas.append(hashlib.sha1(b).hexdigest())
                 sizes.append(len(b))
             yield pd.DataFrame(

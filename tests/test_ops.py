@@ -313,6 +313,97 @@ class TestMultimodal:
         assert not np.array_equal(real, mm._decode_image_stub(png))
         assert real.min() >= 0.0 and real.max() <= 1.0
 
+    @staticmethod
+    def _tiny_wav(amplitude: float = 0.5, n_frames: int = 1600,
+                  loud_half: bool = True) -> bytes:
+        """16-bit mono PCM WAV (stdlib only): silence in the first
+        half, a constant-amplitude square tone in the second, so the
+        RMS bins have a known step shape."""
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            half = n_frames // 2
+            val = int(amplitude * 32767)
+            frames = [0] * half + [val if loud_half else 0] * (n_frames - half)
+            w.writeframes(struct.pack(f"<{n_frames}h", *frames))
+        return buf.getvalue()
+
+    def test_audio_codec_real_path(self):
+        """VERDICT r3 #5: the audio swap-point decodes for real via the
+        always-available stdlib ``wave`` fallback — RMS bins reflect
+        the signal (silent half ≈ 0, loud half ≈ amplitude), and
+        ``auto`` routes audio payloads through it."""
+        import numpy as np
+
+        from gleaner_spark.operators import multimodal as mm
+
+        wav = self._tiny_wav(amplitude=0.5)
+        feat = mm.decode_feature(wav, "auto", kind="audio")
+        assert not np.array_equal(feat, mm._decode_image_stub(wav))
+        half = mm.FEATURE_DIM // 2
+        assert np.allclose(feat[:half], 0.0, atol=1e-4)  # silent half
+        assert np.allclose(feat[half:], 0.5, atol=1e-2)  # square tone RMS
+        # forced codec: same result; undecodable bytes fall to the stub
+        assert np.array_equal(feat, mm.decode_feature(wav, "wav", kind="audio"))
+        garbage = b"RIFFnot really a wav"
+        assert np.array_equal(
+            mm.decode_feature(garbage, "auto", kind="audio"),
+            mm._decode_image_stub(garbage),
+        )
+
+    def test_video_codec_guard(self):
+        """Video mirrors the PIL pattern: forced codec raises when
+        PyAV is absent; auto falls back to the stub."""
+        import numpy as np
+        import pytest as _pytest
+
+        from gleaner_spark.operators import multimodal as mm
+
+        payload = b"\x00\x00\x00\x18ftypmp42 not a real mp4"
+        if not mm.HAS_AV:
+            with _pytest.raises(RuntimeError, match="av"):
+                mm.decode_feature(payload, "av", kind="video")
+            assert np.array_equal(
+                mm.decode_feature(payload, "auto", kind="video"),
+                mm._decode_image_stub(payload),
+            )
+        else:  # pragma: no cover - sandbox has no PyAV
+            feat = mm.decode_feature(payload, "auto", kind="video")
+            assert feat.size == mm.FEATURE_DIM
+
+    def test_mixed_kind_auto_batch(self, spark):
+        """extract_features(codec='auto') routes each row by its kind
+        column in one Arrow batch: audio rows that decode get RMS
+        features, image/video rows (no PIL/PyAV here) get the stub —
+        and the stub contract (codec='stub') is unchanged."""
+        from pyspark.sql import Row
+
+        from gleaner_spark.operators import multimodal as mm
+
+        wav = self._tiny_wav()
+        rows = [
+            Row(media_id=0, kind="audio", payload=bytearray(wav),
+                mime="audio/wav", width=None, height=None, duration_ms=100),
+            Row(media_id=1, kind="image", payload=bytearray(b"png-ish"),
+                mime="image/png", width=2, height=2, duration_ms=None),
+            Row(media_id=2, kind="video", payload=bytearray(b"mp4-ish"),
+                mime="video/mp4", width=None, height=None, duration_ms=1000),
+        ]
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        got = {r["media_id"]: r for r in mm.extract_features(media, codec="auto").collect()}
+        assert got[0]["feature"] != mm._decode_image_stub(wav).tolist()
+        assert got[1]["feature"] == mm._decode_image_stub(b"png-ish").tolist()
+        if not mm.HAS_AV:
+            assert got[2]["feature"] == mm._decode_image_stub(b"mp4-ish").tolist()
+        stub = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+        assert stub[0]["feature"] == mm._decode_image_stub(wav).tolist()
+
 
 class TestStreaming:
     def test_incremental_harvest_available_now(self, spark, tmp_lake):
