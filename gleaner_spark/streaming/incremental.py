@@ -5,14 +5,39 @@ is fatal-unsupported at resources.go:73-75). Parity therefore does
 NOT require streaming — resumability comes from lake snapshots + the
 frontier ``state`` column. This module adds the natural Spark
 extension: new page snapshots landing in a directory are harvested
-incrementally with ``Trigger.AvailableNow`` semantics, reusing the
-same extract/process kernels via ``foreachBatch`` so the batch and
-streaming paths cannot drift.
+incrementally with ``Trigger.AvailableNow`` semantics.
+
+The micro-batch body is a faithful twin of ``run_harvest`` phase 2 —
+it reuses the SAME fused extract/process kernel, the same dedup
+anti-join, the same documents/prov table builders, and the same
+robots evaluator, so the streaming lake and a batch harvest of the
+identical pages are table-equal (documents and prov; pinned by the
+differential suite in tests/test_streaming_differential.py). The
+mapping from a page drop to phase-2 inputs:
+
+- source attribution: the frontier derives it from sitemap ownership;
+  a page drop has no sitemap, so attribution is the host → source
+  domain match (a broadcast join; pages outside every source's domain
+  are dropped, the analog of not being sitemap-listed).
+- robots: the same vectorized evaluator as the frontier anti-filter.
+- crawl order: ``position`` is the row_number per source over
+  ``warc_ts`` (the capture timestamp IS the crawl order in a
+  WARC-derived stream) so the shared-identifier tie-break picks the
+  same winner as the batch pipeline; across micro-batches the earlier
+  batch wins by the lake seen-set, which matches too.
+
+100-TB shape: each micro-batch shuffles only its own pages; the dedup
+anti-join prunes via the lake seen projection (columnar, two columns
+of the documents table). The per-trigger seen-table scan is the
+streaming price for exact dedup — the batch pipeline's checkpointed
+bloom sketch covers the bulk-backfill path, and a valid checkpoint is
+picked up here too (metadata-only probe per batch).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
 
 from ..plans.lake import Lake
 from ..sources.config import Source
@@ -27,46 +52,86 @@ def incremental_harvest(
     run_date: str = "2024-01-01",
     bucket: str = "gleaner",
     context_maps: dict[str, dict] | None = None,
+    robots_bodies: dict[str, str] | None = None,
+    global_strict: bool = False,
+    rude: bool = False,
+    max_files_per_trigger: int = 8,
 ):
     """Start an available-now streaming harvest over a directory of
     page parquet drops. Returns the StreamingQuery (await it with
     .awaitTermination())."""
     from ..operators import harvest as hv
+    from ..operators.frontier import _robots_filter_udf
     from ..sources.corpus import PAGES_SCHEMA
 
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(pages_stream_dir)
     )
+
+    src_rows = [(s.domain, s.name) for s in sources if s.active and s.domain]
+    hw = {s.name: s.headless_wait for s in sources}
 
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
-        frontier_like = batch_df.selectExpr(
-            "url",
-            "url as loc",
-            "cast(0 as long) as position",
+        sp = batch_df.sparkSession
+        host = F.concat(
+            F.parse_url("url", F.lit("PROTOCOL")), F.lit("://"),
+            F.parse_url("url", F.lit("HOST")),
         )
-        # within a micro-batch the page set IS the frontier slice
-        from pyspark.sql import functions as F
+        pages = batch_df.withColumn("host", host)
+        src_df = sp.createDataFrame(src_rows, "host string, source_name string")
+        pages = pages.join(F.broadcast(src_df), "host", "inner")
+        if not rude and robots_bodies:
+            allowed = _robots_filter_udf(robots_bodies)
+            pages = pages.filter(allowed(F.col("url"), F.col("host")))
+        w = Window.partitionBy("source_name").orderBy("warc_ts", "url")
+        fetched = pages.withColumn(
+            "position", F.row_number().over(w).cast("long")
+        ).select("source_name", "url", "position", "html", "text", "content_type")
 
-        fetched = batch_df.select("url", "html", "text").withColumn(
-            "source_name", F.lit("stream")
-        ).withColumn("position", F.lit(0).cast("long"))
-        extracted = hv.extract_documents(fetched, {"stream": 0})
-        # same contextmaps as the batch path: without them, executor-
-        # side validity checks would reject documents whose @context
-        # the config maps to a local file, silently diverging the
-        # streaming lake from a batch harvest of the identical pages
-        processed = hv.process_documents(extracted, sources,
-                                         context_maps=context_maps)
-        seen_src = lake.table("documents").read(spark)
-        seen = seen_src.select("source_name", "unique_id") if seen_src is not None else None
-        new_docs = hv.dedup_new_documents(spark, processed, seen)
-        docs_out = hv.documents_table(new_docs)
-        if docs_out.limit(1).count():
-            lake.table("documents").append(docs_out, run_id=f"stream-{batch_id}")
+        processed = hv.extract_and_process(
+            fetched, sources, hw, global_strict, context_maps=context_maps
+        ).persist()
+        try:
+            docs_only = processed.filter(F.col("doc_idx") >= 0)
+            seen_src = lake.table("documents").read(sp)
+            seen = (
+                seen_src.select("source_name", "unique_id")
+                if seen_src is not None else None
+            )
+            # a valid batch-pipeline sketch checkpoint prunes the
+            # shuffle; streaming appends invalidate it (lineage guard)
+            # so later batches fall back to the plain anti-join
+            sk_entry = hv.load_seen_sketch(lake)
+            sketch = (
+                sk_entry[0]
+                if seen is not None and sk_entry is not None
+                and sk_entry[1] <= sk_entry[2]
+                else None
+            )
+            new_docs = hv.dedup_new_documents(
+                sp, docs_only.drop("jsonld", "page_bytes", "page_first"),
+                seen, sketch=sketch,
+            )
+            docs_out = hv.documents_table(new_docs)
+            if docs_out.limit(1).count():
+                lake.table("documents").append(
+                    docs_out, run_id=f"stream-{batch_id}",
+                    partition_by=["source_name"],
+                )
+            # prov re-emits for every processed doc each run — the
+            # reference quirk (jsonutils.go:378); per micro-batch here
+            prov = hv.prov_table(docs_only, sources, bucket, run_date)
+            if prov.limit(1).count():
+                lake.table("prov").append(
+                    prov, run_id=f"stream-{batch_id}",
+                    partition_by=["source_name"],
+                )
+        finally:
+            processed.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)
