@@ -100,10 +100,19 @@ def resolve_sitemap_docs(
 
 
 def sitemap_entries_df(spark: SparkSession, docs: list[tuple[str, str, int, str]]) -> DataFrame:
-    """Executor-side XML parse preserving document order."""
+    """Executor-side XML parse preserving document order.
+
+    One sitemap doc per RDD slice, so the (multi-MB) XML bodies go
+    driver→executor exactly once — the old ``repartition`` guaranteed
+    the same one-doc-per-task spread but paid a full shuffle of the
+    XML blobs to get it (profiled at sf0.1: the exchange was ~15% of
+    the frontier phase). Parse parallelism == number of sitemap docs
+    by construction (at CC scale, thousands; the spec caps one doc at
+    50k URLs so a task is bounded)."""
+    schema = "source_name string, sitemap_url string, sitemap_seq int, xml string"
     doc_df = spark.createDataFrame(
-        docs, "source_name string, sitemap_url string, sitemap_seq int, xml string"
-    ).repartition(max(len(docs), 1), "source_name", "sitemap_url")
+        spark.sparkContext.parallelize(docs or [], max(len(docs), 1)), schema
+    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -148,6 +157,102 @@ def _robots_filter_udf(robots_by_host: dict[str, str]):
     return allowed
 
 
+FRONTIER_ENTRY_SCHEMA = T.StructType(
+    [
+        T.StructField("source_name", T.StringType()),
+        T.StructField("sitemap_seq", T.IntegerType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("lr", T.IntegerType()),   # rank among survivors, 1-based
+        T.StructField("cnt", T.IntegerType()),  # survivors in this doc
+    ]
+)
+
+
+def _frontier_entries_df(spark: SparkSession, docs: list[tuple[str, str, int, str]],
+                         robots_bodies: dict[str, str] | None) -> DataFrame:
+    """Fused parse → normalize (S10) → robots anti-filter (S11) →
+    within-doc survivor rank, all in the ONE per-sitemap parse task.
+
+    The unfused operators (``sitemap_entries_df`` + the S10 column
+    expressions + ``_robots_filter_udf``) stay as the unit-testable
+    building blocks and oracle contracts; the frontier build uses this
+    fused stage because each extra Python stage is a full Arrow round
+    trip of the frontier and the plain per-source rank window was an
+    unbounded single-task sort (a 10^8-URL source at CC scale). Here
+    the task sees one whole sitemap doc (≤50k URLs by spec), so the
+    local rank and the survivor count are free; the global position is
+    the rank plus a cumulative per-doc offset from a tiny broadcast
+    table. Row-identical to the unfused chain (pinned by test)."""
+    robots_by_host = robots_bodies or {}
+    _groups: dict[str, rb.Group | None] = {}
+
+    def _host_of(url: str) -> str | None:
+        # F.parse_url PROTOCOL + "://" + HOST parity: scheme, then
+        # host without userinfo/port; None on unparseable urls
+        import urllib.parse as up
+
+        try:
+            p = up.urlsplit(url)
+        except ValueError:
+            return None
+        if not p.scheme or not p.netloc:
+            return None
+        host = p.netloc.rsplit("@", 1)[-1]
+        if ":" in host and not host.endswith("]"):
+            host = host.rsplit(":", 1)[0]
+        return f"{p.scheme}://{host}" if host else None
+
+    def _allowed(url: str, host: str | None) -> bool:
+        if not robots_by_host:
+            return True
+        grp = _groups.get(host, False)
+        if grp is False:
+            body = robots_by_host.get(host)
+            grp = rb.parse_robots_txt(body).find_group(EARTHCUBE_AGENT) if body else None
+            _groups[host] = grp
+        return True if grp is None else grp.test(url)
+
+    # the XML bodies ship as ONE broadcast (torrent, cached per
+    # executor) instead of riding every task of every branch — the
+    # offsets subquery and the main query each re-run this stage, so
+    # task-embedded payloads would ship the corpus twice per action
+    bdocs = spark.sparkContext.broadcast(docs or [])
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_docs = bdocs.value
+        for pdf in batches:
+            out = {k: [] for k in FRONTIER_ENTRY_SCHEMA.fieldNames()}
+            for i in pdf["id"]:
+                source_name, _sitemap_url, sitemap_seq, xml = all_docs[int(i)]
+                try:
+                    urls = sm.parse_sitemap(xml)
+                except sm.SitemapParseError:
+                    continue  # MultiError semantics: log & continue
+                start = len(out["url"])
+                lr = 0
+                for u in urls:
+                    # S10: trim + strip internal spaces/newlines
+                    norm = u.loc.replace(" ", "").replace("\n", "")
+                    if not norm:
+                        continue
+                    host = _host_of(norm)
+                    if not _allowed(norm, host):
+                        continue
+                    lr += 1
+                    out["source_name"].append(source_name)
+                    out["sitemap_seq"].append(sitemap_seq)
+                    out["url"].append(norm)
+                    out["host"].append(host)
+                    out["lr"].append(lr)
+                    out["cnt"].append(0)
+                out["cnt"][start:] = [lr] * (len(out["url"]) - start)
+            yield pd.DataFrame(out)
+
+    idx_df = spark.range(len(docs or []), numPartitions=max(len(docs or []), 1))
+    return idx_df.mapInPandas(parse, FRONTIER_ENTRY_SCHEMA)
+
+
 def build_frontier(
     spark: SparkSession,
     sources: list[Source],
@@ -159,25 +264,21 @@ def build_frontier(
 ) -> tuple[DataFrame, list[str]]:
     """frontier table: source_name, url, host, url_hash, url_sha,
     position, state, attempt (SURVEY §1.2). Plus per-source politeness
-    columns threads/delay_ms (S12/S13 semantics incl. units quirk)."""
+    columns threads/delay_ms (S12/S13 semantics incl. units quirk).
+
+    Plan shape (profiled, VERDICT r3 #8): ONE Python stage (the fused
+    parse task), no full-frontier exchange at all — position comes
+    from the in-task survivor rank plus broadcast per-doc offsets;
+    hashing/state/politeness are JVM column expressions. The offsets
+    branch re-runs the (cheap, bounded) parse on the tiny count
+    projection rather than caching the frontier — at CC scale a
+    second 50k-URL XML parse per sitemap is noise next to an extra
+    persist of a 10^10-row frontier."""
     summoner = summoner or SummonerConfig()
     docs, errors = resolve_sitemap_docs(sources, sitemap_bodies, robots_bodies, headless)
-    entries = sitemap_entries_df(spark, docs)
-
-    # S10 normalization: trim + strip internal spaces/newlines
-    normalized = (
-        entries.withColumn("url", F.regexp_replace(F.trim(F.col("loc")), "[ \n]", ""))
-        .filter(F.length("url") > 0)
-        .withColumn(
-            "host",
-            F.concat(F.parse_url("url", F.lit("PROTOCOL")), F.lit("://"), F.parse_url("url", F.lit("HOST"))),
-        )
+    entries = _frontier_entries_df(
+        spark, docs, None if rude else robots_bodies
     )
-
-    # S11 robots disallow anti-filter (skipped when rude; resources.go:46-49)
-    if not rude and robots_bodies:
-        allowed = _robots_filter_udf(robots_bodies)
-        normalized = normalized.filter(allowed(F.col("url"), F.col("host")))
 
     # politeness resolution (S12/S13) — tiny per-source table, broadcast later
     politeness = {}
@@ -198,9 +299,23 @@ def build_frontier(
         "source_name string, threads int, delay_ms long",
     )
 
-    w = Window.partitionBy("source_name").orderBy("sitemap_seq", "doc_pos")
+    # global position = within-doc survivor rank + cumulative per-doc
+    # offset (tiny: one row per sitemap doc, broadcast)
+    counts = entries.groupBy("source_name", "sitemap_seq").agg(
+        F.max("cnt").alias("cnt")
+    )
+    w_off = (
+        Window.partitionBy("source_name")
+        .orderBy("sitemap_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).drop("cnt")
     frontier = (
-        normalized.withColumn("position", F.row_number().over(w).cast("long"))
+        entries.join(F.broadcast(offsets), ["source_name", "sitemap_seq"])
+        .withColumn("position", (F.col("off") + F.col("lr")).cast("long"))
+        .drop("lr", "cnt", "off")
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn("url_sha", F.sha1(F.col("url")))
         .withColumn("state", F.lit("pending"))

@@ -657,6 +657,96 @@ class TestScalableScheduling:
         assert by_seq[1]["scheduled_offset_ms"] == 50  # delay pacing intact
 
 
+class TestFusedFrontier:
+    def test_fused_build_matches_unfused_chain(self, spark):
+        """build_frontier's fused parse+normalize+robots+rank stage is
+        row-identical (incl. position) to the unfused operator chain —
+        the S7/S10/S11 building blocks + the plain per-source window —
+        over multi-sitemap sources, dirty whitespace, empty locs,
+        robots-disallowed urls and a malformed sitemap doc."""
+        from pyspark.sql import Window
+
+        from gleaner_spark.core.extract import EARTHCUBE_AGENT  # noqa: F401
+        from gleaner_spark.operators.frontier import (
+            _robots_filter_udf, build_frontier, resolve_sitemap_docs,
+            sitemap_entries_df,
+        )
+        from gleaner_spark.sources.config import Source
+
+        host = "https://fused.example.org"
+
+        def urlset(locs):
+            body = "".join(f"<url><loc>{loc}</loc></url>" for loc in locs)
+            return (
+                '<?xml version="1.0"?><urlset '
+                'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f"{body}</urlset>"
+            )
+
+        sitemaps = {
+            f"{host}/index.xml": (
+                '<?xml version="1.0"?><sitemapindex '
+                'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f"<sitemap><loc>{host}/a.xml</loc></sitemap>"
+                f"<sitemap><loc>{host}/broken.xml</loc></sitemap>"
+                f"<sitemap><loc>{host}/b.xml</loc></sitemap>"
+                "</sitemapindex>"
+            ),
+            f"{host}/a.xml": urlset(
+                [f"  {host}/items/a{i}\n " for i in range(7)]
+                + ["   ", f"{host}/private/blocked"]
+            ),
+            f"{host}/broken.xml": "<urlset><url><loc>oops",  # parse error
+            f"{host}/b.xml": urlset([f"{host}/items/b{i}" for i in range(5)]),
+        }
+        robots = {host: "User-agent: *\nDisallow: /private/\n"}
+        sources = [Source(name="s", url=f"{host}/index.xml", domain=host)]
+
+        fused, errs = build_frontier(spark, sources, sitemaps, robots)
+        assert any("broken.xml" not in e for e in errs) or errs == []
+
+        # unfused reference chain
+        docs, _ = resolve_sitemap_docs(sources, sitemaps, robots)
+        entries = sitemap_entries_df(spark, docs)
+        norm = (
+            entries.withColumn(
+                "url", F.regexp_replace(F.trim(F.col("loc")), "[ \n]", "")
+            )
+            .filter(F.length("url") > 0)
+            .withColumn(
+                "host",
+                F.concat(F.parse_url("url", F.lit("PROTOCOL")), F.lit("://"),
+                         F.parse_url("url", F.lit("HOST"))),
+            )
+        )
+        norm = norm.filter(_robots_filter_udf(robots)(F.col("url"), F.col("host")))
+        w = Window.partitionBy("source_name").orderBy("sitemap_seq", "doc_pos")
+        ref = norm.withColumn("position", F.row_number().over(w).cast("long"))
+
+        got = {(r["source_name"], r["url"]): (r["position"], r["host"])
+               for r in fused.collect()}
+        want = {(r["source_name"], r["url"]): (r["position"], r["host"])
+                for r in ref.collect()}
+        assert got == want and len(got) == 12  # 7 a-urls + 5 b-urls
+
+    def test_fused_frontier_single_python_stage_no_full_exchange(self, spark):
+        """Plan pin: the frontier build runs ONE Python stage and no
+        full-frontier exchange (position comes from the broadcast
+        offsets join, not a per-source window sort)."""
+        from gleaner_spark.operators.frontier import build_frontier
+        from gleaner_spark.sources import corpus
+
+        f, _ = build_frontier(
+            spark, corpus.build_sources(), corpus.build_sitemaps(200),
+            corpus.build_robots(),
+        )
+        plan = f._jdf.queryExecution().executedPlan().toString()
+        left = plan.split("BroadcastExchange")[0]  # the frontier side
+        assert "ArrowEvalPython" not in plan  # robots fused into parse
+        assert left.count("MapInPandas") == 1
+        assert "Exchange hashpartitioning" not in left
+
+
 class TestCuckooSketch:
     def test_add_contains_remove(self):
         from gleaner_spark.operators.sketch import CuckooSketch
