@@ -703,7 +703,9 @@ class TestFusedFrontier:
         sources = [Source(name="s", url=f"{host}/index.xml", domain=host)]
 
         fused, errs = build_frontier(spark, sources, sitemaps, robots)
-        assert any("broken.xml" not in e for e in errs) or errs == []
+        # a malformed sitemap doc is skipped executor-side (MultiError
+        # log-and-continue), not surfaced as a driver error
+        assert errs == []
 
         # unfused reference chain
         docs, _ = resolve_sitemap_docs(sources, sitemaps, robots)
