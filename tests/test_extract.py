@@ -306,3 +306,125 @@ def test_prov_table_bytes_match_driver_renderer(spark):
         assert got[uid]["prov_jsonld"] == doc
         assert got[uid]["prov_sha"] == psha
         assert f"urn:gleaner:{sname}:{uid}" in doc
+
+
+class TestFastScriptScan:
+    """The _fast_scripts linear scan is ONE-SIDED: non-None results
+    must be byte-identical to the html.parser collector; uncertain
+    shapes must return None (fallback). Both properties differential-
+    tested here against the slow collector."""
+
+    @staticmethod
+    def _slow(body):
+        from gleaner_spark.core.extract import _ScriptAndTextCollector
+
+        c = _ScriptAndTextCollector()
+        try:
+            c.feed(body)
+            c.close()
+        except Exception:
+            return None  # parser raise → find_jsonld_in_page returns []
+        return c.scripts
+
+    def _check(self, body, expect_fast=None):
+        from gleaner_spark.core.extract import _fast_scripts
+
+        fast = _fast_scripts(body)
+        if fast is not None:
+            assert fast == self._slow(body), body
+        if expect_fast is not None:
+            assert (fast is not None) == expect_fast, body
+        return fast
+
+    LD = 'type="application/ld+json"'
+
+    def test_common_shapes_take_fast_path(self):
+        ld = self.LD
+        cases = [
+            f'<html><body><script {ld}>{{"a":1}}</script></body></html>',
+            f'<p>x</p><script {ld}>A</script><div>m</div><script {ld}>B</script>',
+            f'<script {ld}>A</script>',
+            f'<SCRIPT TYPE="application/ld+json;charset=utf-8">A</SCRIPT>',
+            f"<script type='application/ld+json'>A</script>",
+            f'<script {ld}>A</ script >',       # ws-tolerant close
+            f'<script {ld}>A</SCRIPT>',
+            '<script type="text/javascript">x</script>',   # non-matching
+            '<script>plain</script>',
+            f'<script {ld}>with <b>markup</b> inside</script>',  # CDATA
+            f'<script data-x="a>b" {ld}>A</script>',  # '>' in quoted attr
+            f'<div data-x=\'<script {ld}>evil</script>\'>real</div>'
+            f'<script {ld}>good</script>',  # script hidden in attr quote
+            "no tags at all",
+            "<div>no scripts</div>",
+            f'<script {ld}>A</scriptx></script>',  # fake close is data
+            f'<script foo {ld}>A</script>',        # bare attr
+            f'<script type=application/ld+json>A</script>',  # unquoted
+            f'<script {ld} type="nope">A</script>',  # dup attr: last wins
+            f'<script {ld}>A</script><',             # trailing bare <
+        ]
+        for body in cases:
+            self._check(body, expect_fast=True)
+
+    def test_uncertain_shapes_fall_back(self):
+        ld = self.LD
+        cases = [
+            f'<!-- c --><script {ld}>A</script>',          # comment
+            f'<!DOCTYPE html><script {ld}>A</script>',     # declaration
+            f'<?pi x?><script {ld}>A</script>',            # PI
+            f'<style>x</style><script {ld}>A</script>',    # style CDATA
+            f'<script {ld}/>',                             # self-closing
+            f'<script {ld}>A',                             # unterminated
+            f'<script {ld}>A</script foo>',                # weird end tag
+            f'<script type="application/ld&#43;json">A</script>',  # entity
+            f'<a b=c"d><script {ld}>A</script>',  # quote opened mid-value
+            f'</ x<script {ld}>A</script>',       # bogus end tag re-parse
+            f'\x00<script {ld}>A</script>',                # NUL
+        ]
+        for body in cases:
+            assert self._check(body) is None, body
+
+    def test_fast_path_results_match_slow_on_corpus(self):
+        from gleaner_spark.core.extract import _fast_scripts
+        from gleaner_spark.sources import corpus
+
+        n_fast = 0
+        for i in range(600):
+            html, text = corpus.html_for(i)
+            fast = self._check(html)
+            n_fast += fast is not None
+            self._check(text)
+        assert n_fast >= 500  # the corpus shape IS the fast path
+
+    def test_hypothesis_differential(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        ld = self.LD
+        frag = st.sampled_from([
+            f"<script {ld}>", "<script>", "</script>", "</script >",
+            "</scriptx>", "<script", "script>", "<div>", "</div>",
+            "<div a='x'>", '<div a="<script>">', "text", "{", "}",
+            '"a":1', "<", ">", "'", '"', "=", "/", "<!--", "-->",
+            "<style>", "</style>", "&amp;", " ", "<SCRIPT>", "\n",
+            f"<script  {ld} >", "<script/>", "<a b=c\"d>", "</ x",
+        ])
+
+        @settings(max_examples=400, deadline=None)
+        @given(st.lists(frag, min_size=0, max_size=12))
+        def run(parts):
+            self._check("".join(parts))
+
+        run()
+
+    def test_json_branch_fast_text(self):
+        from gleaner_spark.core.extract import find_jsonld_in_page
+
+        doc = '{"@context":"https://schema.org/","@type":"Dataset","@id":"x"}'
+        assert find_jsonld_in_page(
+            "https://h/d.json", "application/json", doc
+        ) == [doc]
+        # bodies with markup/entities still go through the parser
+        wrapped = f"<html><body>{doc}</body></html>"
+        assert find_jsonld_in_page(
+            "https://h/d.json", "application/json", wrapped
+        ) == [doc]
