@@ -145,7 +145,11 @@ def _fast_scripts(body: str) -> list[str] | None:
                 return None
             i = m.end()
             continue
-        if not nxt.isalpha():
+        if not ("a" <= nxt <= "z" or "A" <= nxt <= "Z"):
+            # html.parser's starttagopen is ASCII-only ('<[a-zA-Z]');
+            # '<' + a non-ASCII letter is data, NOT a tag — str.isalpha
+            # would wrongly consume e.g. '<п ...>' as a tag and skip
+            # real scripts hidden in its quoted attrs
             i = j + 1  # bare "<" is data
             continue
         # generic start tag: name, then quote-respecting scan to ">"

@@ -157,6 +157,34 @@ def _robots_filter_udf(robots_by_host: dict[str, str]):
     return allowed
 
 
+def _host_of(url: str) -> str | None:
+    """scheme://host of a URL — the frontier/streaming host key.
+
+    Deliberately MORE tolerant than ``F.parse_url('HOST')`` (java.net.
+    URI): hosts java rejects (underscores, stray percent signs — both
+    occur in real crawl frontiers) are kept rather than nulled,
+    because a NULL host would bypass the robots anti-filter and
+    host-keyed politeness entirely — the unsafe direction for a
+    crawler. Also lowercases the scheme (urlsplit semantics) where
+    parse_url preserves its case; robots/domain keys are config-owned
+    lowercase strings. Userinfo and ports are stripped like
+    parse_url. The fused-vs-unfused pin test covers the shapes where
+    the two agree; these divergences are documented behavior, not
+    drift."""
+    import urllib.parse as up
+
+    try:
+        p = up.urlsplit(url)
+    except ValueError:
+        return None
+    if not p.scheme or not p.netloc:
+        return None
+    host = p.netloc.rsplit("@", 1)[-1]
+    if ":" in host and not host.endswith("]"):
+        host = host.rsplit(":", 1)[0]
+    return f"{p.scheme}://{host}" if host else None
+
+
 FRONTIER_ENTRY_SCHEMA = T.StructType(
     [
         T.StructField("source_name", T.StringType()),
@@ -186,22 +214,6 @@ def _frontier_entries_df(spark: SparkSession, docs: list[tuple[str, str, int, st
     table. Row-identical to the unfused chain (pinned by test)."""
     robots_by_host = robots_bodies or {}
     _groups: dict[str, rb.Group | None] = {}
-
-    def _host_of(url: str) -> str | None:
-        # F.parse_url PROTOCOL + "://" + HOST parity: scheme, then
-        # host without userinfo/port; None on unparseable urls
-        import urllib.parse as up
-
-        try:
-            p = up.urlsplit(url)
-        except ValueError:
-            return None
-        if not p.scheme or not p.netloc:
-            return None
-        host = p.netloc.rsplit("@", 1)[-1]
-        if ":" in host and not host.endswith("]"):
-            host = host.rsplit(":", 1)[0]
-        return f"{p.scheme}://{host}" if host else None
 
     def _allowed(url: str, host: str | None) -> bool:
         if not robots_by_host:

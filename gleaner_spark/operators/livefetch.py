@@ -9,27 +9,36 @@ BASELINE.json's input_hint); this module is the selectable live mode
 behind the same contract — its output feeds ``extract_and_process``
 unchanged.
 
-Execution model — **a politeness lane IS a Spark task**:
+Execution model — **a politeness lane never splits across tasks**:
 
 - ``schedule_fetches`` (S13) already assigns every frontier row a
   ``lane`` (``fetch_seq % threads``; exactly 1 lane when ``delay_ms >
   0``, reproducing getConfig's threads→1 collapse, acquire.go:71-73).
-  Grouping by ``(host, lane)`` in ``applyInPandas`` therefore gives
-  per-host concurrency == the source's thread budget *by construction*:
-  Spark can never run more simultaneous requests against a host than
-  that host has lanes. No semaphore object needed — the semaphore is
-  the group count.
-- Within a lane, URLs fetch strictly in ``fetch_seq`` order over ONE
-  keep-alive connection per (scheme, netloc) (the reference reuses one
-  http.Client's pool per source); ``delay_ms > 0`` sleeps after each
-  completion (acquire.go:210 sleeps whether or not the fetch failed).
+  Hash-partitioning by ``(host, lane)`` keeps each lane whole inside
+  one task, so per-host concurrency == the source's thread budget *by
+  construction*: Spark can never run more simultaneous requests
+  against a host than that host has lanes (lanes sharing a partition
+  merely serialize — under-parallel, never over). No semaphore object
+  needed.
+- Within a lane, URLs fetch strictly in ``fetch_seq`` order
+  (``sortWithinPartitions``) over ONE keep-alive connection per
+  (scheme, netloc) (the reference reuses one http.Client's pool per
+  source), following redirects like Go's http.Client (≤10 hops);
+  ``delay_ms > 0`` sleeps after each completion (acquire.go:210
+  sleeps whether or not the fetch failed).
+- Memory: ``mapInPandas`` yields a frame every few dozen fetches, so
+  a million-URL lane holds only that chunk of bodies in the task —
+  never the whole group (the whole-group ``applyInPandas`` shape
+  would buffer a lane's entire corpus before returning).
 - 100-TB shape: cross-host parallelism is the scale axis — millions of
-  (host, lane) groups spread over the cluster. A single giant host is
-  NOT a Spark skew problem: its wall-clock is bounded below by its own
-  politeness budget (delay × URLs / lanes), an irreducible serial chain
-  no partitioning can shorten; the shuffle moves only (url, schedule)
-  width, never bodies (bodies are born executor-side here and flow
-  straight into extraction).
+  (host, lane) groups spread over the cluster (raise
+  spark.sql.shuffle.partitions so groups spread; co-located groups
+  only serialize). A single giant host is NOT a Spark skew problem:
+  its wall-clock is bounded below by its own politeness budget
+  (delay × URLs / lanes), an irreducible serial chain no partitioning
+  can shorten; the shuffle moves only (url, schedule) width, never
+  bodies (bodies are born executor-side here and flow straight into
+  extraction).
 
 Status-code quirk (parity): the reference never checks
 ``resp.StatusCode`` — any transport-successful response body flows to
@@ -84,12 +93,15 @@ LIVE_FETCH_SCHEMA = T.StructType(
 CONTRACT_COLS = ["source_name", "url", "position", "html", "text", "content_type"]
 
 
-def _fetch_one(conns: dict, target_url: str, headers: dict[str, str],
-               timeout_s: float):
-    """GET over a cached keep-alive connection; one transparent
+_MAX_REDIRECTS = 10  # Go http.Client's default CheckRedirect limit
+
+
+def _request_once(conns: dict, target_url: str, headers: dict[str, str],
+                  timeout_s: float):
+    """One GET over a cached keep-alive connection; one transparent
     reconnect when a pooled socket went stale (server-side keep-alive
     close between requests — indistinguishable from the reference's
-    http.Client silently re-dialing). Returns (status, content_type,
+    http.Client silently re-dialing). Returns (status, headers_obj,
     body, error)."""
     parsed = urllib.parse.urlsplit(target_url)
     key = (parsed.scheme, parsed.netloc)
@@ -97,7 +109,7 @@ def _fetch_one(conns: dict, target_url: str, headers: dict[str, str],
     if parsed.query:
         path += "?" + parsed.query
     last_err = None
-    for attempt in (0, 1):
+    for _attempt in (0, 1):
         conn = conns.get(key)
         fresh = conn is None
         if fresh:
@@ -112,7 +124,7 @@ def _fetch_one(conns: dict, target_url: str, headers: dict[str, str],
             conn.request("GET", path, headers=headers)
             resp = conn.getresponse()
             body = resp.read()
-            return resp.status, resp.getheader("Content-Type"), body, None
+            return resp.status, resp, body, None
         except Exception as e:  # noqa: BLE001 - transport errors skip the URL
             conn.close()
             conns.pop(key, None)
@@ -120,6 +132,28 @@ def _fetch_one(conns: dict, target_url: str, headers: dict[str, str],
             if fresh:
                 break  # a fresh connection failing is a real error, not staleness
     return None, None, None, last_err
+
+
+def _fetch_one(conns: dict, target_url: str, headers: dict[str, str],
+               timeout_s: float):
+    """GET following redirects like Go's http.Client (the reference's
+    client.Do follows 3xx transparently up to 10 hops — a crawler
+    that records the 301 stub body instead of the target page would
+    silently harvest nothing from canonical-redirect sources).
+    Returns (status, content_type, body, error) of the FINAL
+    response; >10 hops is a transport error, Go parity."""
+    url = target_url
+    for _hop in range(_MAX_REDIRECTS + 1):
+        status, resp, body, err = _request_once(conns, url, headers, timeout_s)
+        if err is not None:
+            return None, None, None, err
+        if status in (301, 302, 303, 307, 308):
+            loc = resp.getheader("Location")
+            if loc:
+                url = urllib.parse.urljoin(url, loc)
+                continue
+        return status, resp.getheader("Content-Type"), body, None
+    return None, None, None, f"stopped after {_MAX_REDIRECTS} redirects"
 
 
 def live_fetch_pages(
@@ -134,54 +168,72 @@ def live_fetch_pages(
     fetch_seq, delay_ms) — pass it through ``schedule_fetches`` first;
     a lane-less frontier degrades to one lane per host."""
     accepts = accept_by_source or {}
+    emit_rows = 64  # bodies held in memory per yielded frame
 
-    def run(key, pdf):
-        pdf = pdf.sort_values(
-            "fetch_seq" if "fetch_seq" in pdf.columns else "position"
-        )
+    def run(batches):
+        # one task = one partition = whole (host, lane) groups in
+        # fetch_seq order; bodies are yielded every `emit_rows` fetches
+        # so a million-URL lane never accumulates its corpus in the
+        # task (the old whole-group applyInPandas buffer would OOM an
+        # executor at ~100 KB/body × 10^6 URLs)
         conns: dict = {}
         out = {f.name: [] for f in LIVE_FETCH_SCHEMA.fields}
         try:
-            for r in pdf.itertuples(index=False):
-                headers = {
-                    "User-Agent": user_agent,
-                    "Accept": accepts.get(
-                        r.source_name, "application/ld+json, text/html"
-                    ),
-                }
-                target = url_rewrite(r.url) if url_rewrite else r.url
-                t0 = time.time()
-                status, ctype, body, err = _fetch_one(
-                    conns, target, headers, timeout_s
-                )
-                t1 = time.time()
-                out["source_name"].append(r.source_name)
-                out["host"].append(r.host)
-                out["url"].append(r.url)  # logical url, rewrite-invariant
-                out["position"].append(r.position)
-                out["lane"].append(int(getattr(r, "lane", 0) or 0))
-                out["fetch_seq"].append(int(getattr(r, "fetch_seq", 0) or 0))
-                out["html"].append(body)
-                out["text"].append(None)
-                out["content_type"].append(ctype)
-                out["status"].append(status)
-                out["fetched_at_ms"].append(int(t0 * 1000))
-                out["elapsed_ms"].append(int((t1 - t0) * 1000))
-                out["ok"].append(err is None)
-                out["error"].append(err)
-                delay = int(getattr(r, "delay_ms", 0) or 0)
-                if delay > 0:
-                    # sleep after each completion, success or not
-                    # (acquire.go:210 runs unconditionally)
-                    time.sleep(delay / 1000.0)
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    headers = {
+                        "User-Agent": user_agent,
+                        "Accept": accepts.get(
+                            r.source_name, "application/ld+json, text/html"
+                        ),
+                    }
+                    target = url_rewrite(r.url) if url_rewrite else r.url
+                    t0 = time.time()
+                    status, ctype, body, err = _fetch_one(
+                        conns, target, headers, timeout_s
+                    )
+                    t1 = time.time()
+                    out["source_name"].append(r.source_name)
+                    out["host"].append(r.host)
+                    out["url"].append(r.url)  # logical url, rewrite-invariant
+                    out["position"].append(r.position)
+                    out["lane"].append(int(getattr(r, "lane", 0) or 0))
+                    out["fetch_seq"].append(int(getattr(r, "fetch_seq", 0) or 0))
+                    out["html"].append(body)
+                    out["text"].append(None)
+                    out["content_type"].append(ctype)
+                    out["status"].append(status)
+                    out["fetched_at_ms"].append(int(t0 * 1000))
+                    out["elapsed_ms"].append(int((t1 - t0) * 1000))
+                    out["ok"].append(err is None)
+                    out["error"].append(err)
+                    delay = int(getattr(r, "delay_ms", 0) or 0)
+                    if delay > 0:
+                        # sleep after each completion, success or not
+                        # (acquire.go:210 runs unconditionally)
+                        time.sleep(delay / 1000.0)
+                    if len(out["url"]) >= emit_rows:
+                        yield pd.DataFrame(out)
+                        out = {f.name: [] for f in LIVE_FETCH_SCHEMA.fields}
+            if out["url"]:
+                yield pd.DataFrame(out)
         finally:
             for c in conns.values():
                 c.close()
-        return pd.DataFrame(out)
 
     cols = ["source_name", "host", "url", "position", "delay_ms"]
     cols += [c for c in ("lane", "fetch_seq") if c in frontier.columns]
     grouped = frontier.select(*cols)
     if "lane" not in frontier.columns:
         grouped = grouped.withColumn("lane", F.lit(0))
-    return grouped.groupBy("host", "lane").applyInPandas(run, LIVE_FETCH_SCHEMA)
+    if "fetch_seq" not in grouped.columns:
+        grouped = grouped.withColumn(
+            "fetch_seq", F.col("position").cast("int")
+        )
+    # hash-partition by (host, lane): a group never splits, so lane
+    # concurrency == thread budget still holds; groups sharing a
+    # partition just serialize (politeness-safe, never over-parallel)
+    grouped = grouped.repartition("host", "lane").sortWithinPartitions(
+        "host", "lane", "fetch_seq"
+    )
+    return grouped.mapInPandas(run, LIVE_FETCH_SCHEMA)

@@ -183,9 +183,12 @@ def decode_feature(payload: bytes, codec: str = "stub",
       PIL, video needs PyAV; audio always has the stdlib ``wave``
       fallback (``soundfile`` widens the format coverage when
       importable). Same row contract either way.
-    - ``pil`` / ``wav`` / ``av`` — require that kind's real decoder
-      (raises if the lib is absent; undecodable payloads still fall
-      back to the stub so one corrupt row can't fail a batch).
+    - ``pil`` / ``wav`` / ``av`` — rows of the codec's OWN kind must
+      use its real decoder (raises if the lib is absent); rows of any
+      other kind take the stub, so one codec string stays usable over
+      a mixed-kind table (use ``auto`` to force-decode every kind its
+      library covers). Undecodable payloads still fall back to the
+      stub so one corrupt row can't fail a batch.
     """
     out = None
     if kind == "image" and (codec == "pil" or (codec == "auto" and HAS_PIL)):

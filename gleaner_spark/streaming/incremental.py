@@ -73,15 +73,22 @@ def incremental_harvest(
     src_rows = [(s.domain, s.name) for s in sources if s.active and s.domain]
     hw = {s.name: s.headless_wait for s in sources}
 
+    # the SAME host keying as the fused frontier (_host_of): tolerant
+    # of hosts java.net.URI rejects, and never throws — F.parse_url
+    # raises [INVALID_URL] on URI-invalid page URLs ('{', '|', spaces
+    # all occur in real WARC frontiers), which would kill the whole
+    # micro-batch and the streaming query with it
+    @F.pandas_udf("string")
+    def _host_udf(urls):
+        from ..operators.frontier import _host_of
+
+        return urls.map(lambda u: _host_of(u) if u else None)
+
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
-        host = F.concat(
-            F.parse_url("url", F.lit("PROTOCOL")), F.lit("://"),
-            F.parse_url("url", F.lit("HOST")),
-        )
-        pages = batch_df.withColumn("host", host)
+        pages = batch_df.withColumn("host", _host_udf(F.col("url")))
         src_df = sp.createDataFrame(src_rows, "host string, source_name string")
         pages = pages.join(F.broadcast(src_df), "host", "inner")
         if not rude and robots_bodies:

@@ -361,6 +361,10 @@ class TestFastScriptScan:
             f'<script type=application/ld+json>A</script>',  # unquoted
             f'<script {ld} type="nope">A</script>',  # dup attr: last wins
             f'<script {ld}>A</script><',             # trailing bare <
+            # '<' + non-ASCII letter is data (starttagopen is ASCII-
+            # only): the quoted 'attr' is not an attr, the script is
+            # real — both sides must extract it
+            f'<п a="<script {ld}>1</script>">',
         ]
         for body in cases:
             self._check(body, expect_fast=True)

@@ -68,6 +68,21 @@ class _CorpusServer:
                 try:
                     if outer.latency_s:
                         time.sleep(outer.latency_s)
+                    if self.path.startswith("/redir301/"):
+                        # canonical-redirect shape: 301 to the real path
+                        self.send_response(301)
+                        self.send_header(
+                            "Location", self.path[len("/redir301"):]
+                        )
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                    if self.path.startswith("/redirloop/"):
+                        self.send_response(302)
+                        self.send_header("Location", self.path)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
                     hit = outer.routes.get(self.path)
                     if hit is None:
                         body = b"not found"
@@ -215,6 +230,46 @@ class TestLivePoliteness:
             assert srv.max_inflight <= 3  # lane == task == semaphore slot
         finally:
             srv.stop()
+
+    def test_redirects_followed_like_go_http_client(self, spark, server):
+        """3xx responses are followed transparently (client.Do parity):
+        the final body is extracted, not the redirect stub; a redirect
+        loop is a transport error after 10 hops."""
+        port = server.port
+        direct = _rewrite_for(port)
+
+        def via_redirect(url):
+            rest = url.split("//", 1)[1]
+            host, _, path = rest.partition("/")
+            return f"http://127.0.0.1:{port}/redir301/{host.split('.', 1)[0]}/{path}"
+
+        frontier = _one_host_frontier(spark, server, 4)
+        got = {
+            r["url"]: r for r in live_fetch_pages(
+                frontier, url_rewrite=via_redirect
+            ).collect()
+        }
+        want = {
+            r["url"]: r for r in live_fetch_pages(
+                frontier, url_rewrite=direct
+            ).collect()
+        }
+        assert set(got) == set(want) and len(got) == 4
+        for u in got:
+            # same status AND body as fetching the target directly —
+            # the 301 stub (empty body, status 301) never surfaces
+            assert got[u]["ok"] and got[u]["status"] == want[u]["status"]
+            assert got[u]["status"] != 301
+            assert got[u]["html"] == want[u]["html"]  # the TARGET body
+
+        def loop(url):
+            return f"http://127.0.0.1:{port}/redirloop/x"
+
+        rows = live_fetch_pages(
+            _one_host_frontier(spark, server, 1), url_rewrite=loop
+        ).collect()
+        assert len(rows) == 1 and not rows[0]["ok"]
+        assert "redirect" in rows[0]["error"]
 
     def test_transport_failures_are_counted_not_fatal(self, spark, server, tmp_path):
         """One source's rewrite points at a dead port: its URLs are
