@@ -87,21 +87,6 @@ def _planes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
     return out
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Single-table sign-signature bucket id as a string of bits
-    (JVM-expression variant kept for plan tests / tiny signatures)."""
-    bits = []
-    for plane in planes:
-        lit = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-        # sign test on the ROUNDED dot (see lsh_bucket_keys)
-        bits.append(F.when(F.round(dot, 9) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
-
-
 def lsh_bucket_keys(dim: int, n_planes: int, n_tables: int):
     """Arrow-batched bucket assignment: one matmul against the full
     (n_tables×n_planes, dim) plane matrix per batch, bits packed into
@@ -117,10 +102,13 @@ def lsh_bucket_keys(dim: int, n_planes: int, n_tables: int):
         m = np.array(vs.tolist(), dtype=np.float64)
         # sign test on the dot ROUNDED to 9 decimals: numpy's matmul
         # (SIMD/pairwise summation) and a sequential engine (the DuckDB
-        # oracle's list_dot_product, or Spark's aggregate fold in
-        # lsh_bucket) can disagree in the last ulps, and a dot near 0
-        # would flip the bucket bit between engines (ADVICE r3). Same
-        # fixed-precision trick as the k-means centroid rounding.
+        # oracle's list_dot_product) can disagree in the last ulps, and
+        # a dot near 0 would flip the bucket bit between engines
+        # (ADVICE r3). Same fixed-precision trick as the k-means
+        # centroid rounding. This is the ONLY bucket implementation —
+        # a JVM-expression twin was removed because F.round (HALF_UP)
+        # and np.round (half-to-even) disagree on exact decimal ties,
+        # an intra-engine divergence no rounding trick closes.
         bits = np.round(m @ pl.T, 9) >= 0.0  # (B, T*P)
         codes = bits.reshape(len(m), n_tables, n_planes).astype(np.int64) @ weights
         return pd.Series(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ast
 import pathlib
+import re
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 OPERATORS = REPO / "gleaner_spark" / "operators"
@@ -46,9 +47,12 @@ def test_every_public_operator_function_is_referenced():
         if mod.name.startswith("_"):
             continue
         for name in _public_defs(mod):
+            # word-boundary match: lsh_bucket once hid inside every
+            # lsh_bucket_keys occurrence under a plain substring count
+            pat = re.compile(rf"\b{re.escape(name)}\b")
             n_refs = 0
             for f, text in corpus.items():
-                hits = text.count(name)
+                hits = len(pat.findall(text))
                 if f == mod:
                     hits -= text.count(f"def {name}")
                 n_refs += hits
