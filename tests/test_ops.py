@@ -433,6 +433,44 @@ class TestStreaming:
         q2.awaitTermination(120)
         assert lake.table("documents").read(spark).count() == n1
 
+    def test_uri_invalid_urls_do_not_kill_microbatch(self, spark, tmp_lake):
+        """Host attribution must never throw on URI-invalid page URLs
+        ('{', '|', spaces all occur in real WARC frontiers): F.parse_url
+        raises [INVALID_URL] and would terminate the streaming query
+        with the whole micro-batch; the pandas _host_of path keys what
+        it can and NULLs the rest (dropped by the source inner join)."""
+        import os
+        import tempfile
+
+        from gleaner_spark.plans.lake import Lake
+        from gleaner_spark.sources import corpus
+        from gleaner_spark.streaming.incremental import incremental_harvest
+
+        stream_dir = tempfile.mkdtemp(prefix="gleaner-badurl-")
+        ckpt = tempfile.mkdtemp(prefix="gleaner-badurl-ckpt-")
+        good = corpus.build_pages(spark, 20, partitions=1)
+        ts = corpus._EPOCH
+        bad_rows = [
+            ("https://geo0.example.org/items/a{b}", ts, b"<html></html>",
+             None, "en", "text/html"),
+            ("https://geo0.example.org/x |y", ts, b"<html></html>",
+             None, "en", "text/html"),
+            ("not a url at all", ts, b"<html></html>",
+             None, "en", "text/html"),
+        ]
+        bad = spark.createDataFrame(bad_rows, corpus.PAGES_SCHEMA)
+        good.unionByName(bad).repartition(1).write.mode("append").parquet(stream_dir)
+        lake = Lake(tmp_lake)
+        q = incremental_harvest(
+            spark, lake, corpus.build_sources(), stream_dir, ckpt
+        )
+        q.awaitTermination(120)  # would raise INVALID_URL pre-fix
+        assert q.exception() is None
+        docs = lake.table("documents").read(spark)
+        assert docs.count() > 0  # the valid pages still harvested
+        stored = {r["url"] for r in docs.select("url").collect()}
+        assert "not a url at all" not in stored
+
 
 class TestJvmHashCompletion:
     def test_jvm_hashes_byte_equal_to_reference_python(self, spark):

@@ -385,6 +385,31 @@ def test_frontier_respects_robots_and_normalization(spark, world):
     assert any("/private/" in u and "geo3" in u for u in urls)
 
 
+def test_host_of_is_tolerant_where_java_uri_is_not():
+    """_host_of is the single host key for frontier, streaming, and
+    live-fetch lanes. It must keep hosts java.net.URI rejects (a NULL
+    host would bypass robots filtering and politeness — the unsafe
+    direction for a crawler) and never throw."""
+    from gleaner_spark.operators.frontier import _host_of
+
+    # java.net.URI-hostile shapes that real frontiers contain: kept
+    assert _host_of("https://my_host.example.org/a") == "https://my_host.example.org"
+    assert _host_of("https://ex%zz.org/a") == "https://ex%zz.org"
+    # uppercase scheme lowercased (urlsplit semantics; robots/domain
+    # keys are config-owned lowercase)
+    assert _host_of("HTTPS://geo0.example.org/x") == "https://geo0.example.org"
+    # userinfo and port stripped like F.parse_url HOST
+    assert _host_of("https://u:p@geo0.example.org:8443/x") == "https://geo0.example.org"
+    # IPv6 literal: the bracketed host survives, port stripping skips it
+    assert _host_of("http://[2001:db8::1]/x") == "http://[2001:db8::1]"
+    # URI-invalid paths don't poison the host
+    assert _host_of("https://geo0.example.org/a{b}|c d") == "https://geo0.example.org"
+    # unkeyable shapes → None, never an exception
+    assert _host_of("not a url at all") is None
+    assert _host_of("relative/path") is None
+    assert _host_of("https:///nohost") is None
+
+
 def test_recrawl_after_deletion_repairs(spark, tmp_lake, world):
     """Mirror of TestRecrawlSameSourceAfterRemovingFilesInS3
     (root_internal_test.go:708-745): deleting summoned objects and
