@@ -386,7 +386,10 @@ def schedule_fetches(frontier: DataFrame, scalable: bool = False,
         # reference-defined cross-source order (each source crawls in
         # its own goroutine) — pick the deterministic one
         w = Window.partitionBy("host").orderBy("source_name", "position")
-        seq = F.row_number().over(w) - F.lit(1)
+        # long, not int: a 10^10-URL frontier can put >2^31 URLs behind
+        # one host, and an int32 fetch_seq would wrap negative and
+        # reverse the politeness crawl order
+        seq = (F.row_number().over(w) - F.lit(1)).cast("long")
         df = frontier.withColumn("fetch_seq", seq)
     else:
         blk = F.floor((F.col("position") - 1) / F.lit(block)).alias("blk")
@@ -406,7 +409,7 @@ def schedule_fetches(frontier: DataFrame, scalable: bool = False,
         ).drop("cnt")
         df = (
             local.join(F.broadcast(offsets), ["host", "source_name", "blk"])
-            .withColumn("fetch_seq", (F.col("off") + F.col("lr")).cast("int"))
+            .withColumn("fetch_seq", (F.col("off") + F.col("lr")).cast("long"))
             .drop("blk", "lr", "off")
         )
     df = df.withColumn("lane", F.pmod(F.col("fetch_seq"), lanes).cast("int"))

@@ -75,7 +75,7 @@ LIVE_FETCH_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("position", T.LongType()),
         T.StructField("lane", T.IntegerType()),
-        T.StructField("fetch_seq", T.IntegerType()),
+        T.StructField("fetch_seq", T.LongType()),
         T.StructField("html", T.BinaryType()),
         T.StructField("text", T.StringType()),
         T.StructField("content_type", T.StringType()),
@@ -141,9 +141,11 @@ def _fetch_one(conns: dict, target_url: str, headers: dict[str, str],
     that records the 301 stub body instead of the target page would
     silently harvest nothing from canonical-redirect sources).
     Returns (status, content_type, body, error) of the FINAL
-    response; >10 hops is a transport error, Go parity."""
+    response. Go's default CheckRedirect refuses once 10 requests are
+    on the via chain, so a chain needing an 11th request errors: at
+    most _MAX_REDIRECTS requests total, same boundary here."""
     url = target_url
-    for _hop in range(_MAX_REDIRECTS + 1):
+    for _hop in range(_MAX_REDIRECTS):
         status, resp, body, err = _request_once(conns, url, headers, timeout_s)
         if err is not None:
             return None, None, None, err
@@ -177,10 +179,22 @@ def live_fetch_pages(
         # task (the old whole-group applyInPandas buffer would OOM an
         # executor at ~100 KB/body × 10^6 URLs)
         conns: dict = {}
+        cur_group = None
         out = {f.name: [] for f in LIVE_FETCH_SCHEMA.fields}
         try:
             for pdf in batches:
                 for r in pdf.itertuples(index=False):
+                    group = (r.host, r.lane)
+                    if group != cur_group:
+                        # rows arrive sorted by (host, lane): a passed
+                        # group never comes back, so close its pool —
+                        # open sockets stay bounded by ONE group's
+                        # netloc count, not the partition's host count
+                        # (thousands of hosts/task would exhaust fds)
+                        for c in conns.values():
+                            c.close()
+                        conns.clear()
+                        cur_group = group
                     headers = {
                         "User-Agent": user_agent,
                         "Accept": accepts.get(
@@ -227,8 +241,10 @@ def live_fetch_pages(
     if "lane" not in frontier.columns:
         grouped = grouped.withColumn("lane", F.lit(0))
     if "fetch_seq" not in grouped.columns:
+        # long, never int: position can exceed 2^31 at frontier scale
+        # and an int32 wrap would reverse the in-lane crawl order
         grouped = grouped.withColumn(
-            "fetch_seq", F.col("position").cast("int")
+            "fetch_seq", F.col("position").cast("long")
         )
     # hash-partition by (host, lane): a group never splits, so lane
     # concurrency == thread budget still holds; groups sharing a

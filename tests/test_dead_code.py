@@ -50,11 +50,14 @@ def test_every_public_operator_function_is_referenced():
             # word-boundary match: lsh_bucket once hid inside every
             # lsh_bucket_keys occurrence under a plain substring count
             pat = re.compile(rf"\b{re.escape(name)}\b")
+            # the subtraction must be word-bounded too, or "def foo"
+            # also counts "def foo_bar" and drives the tally negative
+            def_pat = re.compile(rf"\bdef {re.escape(name)}\b")
             n_refs = 0
             for f, text in corpus.items():
                 hits = len(pat.findall(text))
                 if f == mod:
-                    hits -= text.count(f"def {name}")
+                    hits -= len(def_pat.findall(text))
                 n_refs += hits
             if n_refs == 0:
                 unreferenced.append(f"{mod.name}:{name}")

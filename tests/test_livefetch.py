@@ -77,6 +77,16 @@ class _CorpusServer:
                         self.send_header("Content-Length", "0")
                         self.end_headers()
                         return
+                    if self.path.startswith("/chain/"):
+                        # /chain/<n>/<real path>: n hops then the page
+                        _, _, rest = self.path[len("/chain/"):].partition("/")
+                        n = int(self.path[len("/chain/"):].split("/", 1)[0])
+                        loc = f"/{rest}" if n <= 1 else f"/chain/{n - 1}/{rest}"
+                        self.send_response(302)
+                        self.send_header("Location", loc)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
                     if self.path.startswith("/redirloop/"):
                         self.send_response(302)
                         self.send_header("Location", self.path)
@@ -270,6 +280,26 @@ class TestLivePoliteness:
         ).collect()
         assert len(rows) == 1 and not rows[0]["ok"]
         assert "redirect" in rows[0]["error"]
+
+        # the exact Go http.Client boundary: at most 10 requests per
+        # chain — 9 hops to the page (10 requests) succeeds, 10 hops
+        # (needs an 11th request) is "stopped after N redirects"
+        def chain(n):
+            def rw(url):
+                rest = url.split("//", 1)[1]
+                host, _, path = rest.partition("/")
+                return (f"http://127.0.0.1:{port}/chain/{n}/"
+                        f"{host.split('.', 1)[0]}/{path}")
+            return rw
+
+        ok9 = live_fetch_pages(
+            _one_host_frontier(spark, server, 1), url_rewrite=chain(9)
+        ).collect()
+        assert ok9[0]["ok"] and ok9[0]["status"] == want[ok9[0]["url"]]["status"]
+        bad10 = live_fetch_pages(
+            _one_host_frontier(spark, server, 1), url_rewrite=chain(10)
+        ).collect()
+        assert not bad10[0]["ok"] and "redirect" in bad10[0]["error"]
 
     def test_transport_failures_are_counted_not_fatal(self, spark, server, tmp_path):
         """One source's rewrite points at a dead port: its URLs are
