@@ -365,9 +365,9 @@ def schedule_fetches(frontier: DataFrame, scalable: bool = False,
     sitemap order (reference: threads=1 + sleep, acquire.go:71-73,210);
     delay==0 ⇒ `threads` parallel lanes round-robin by position.
 
-    Returns frontier + (lane, fetch_seq, scheduled_offset_ms). The
-    per-partition token bucket for live fetching lives in
-    ``operators.politeness.paced_fetch``.
+    Returns frontier + (lane, fetch_seq, scheduled_offset_ms). Live
+    fetching consumes this schedule in ``operators.livefetch``; the
+    streaming-state variant is ``streaming.stateful``.
 
     ``scalable=True`` is the heavy-tail path (north rule): a plain
     ``Window.partitionBy(host)`` puts a 50M-URL host into ONE task.

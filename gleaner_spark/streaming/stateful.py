@@ -1,8 +1,8 @@
 """Stateful per-host politeness scheduling over a streaming frontier.
 
-The batch pipeline serializes each host's fetches with a window +
-token bucket (operators/politeness.py, reproducing acquire.go:71-73,
-210). In a *continuous* crawl the per-host clock must survive across
+The batch pipeline serializes each host's fetches with the S13
+(host, lane) schedule consumed by ``operators.livefetch``
+(reproducing acquire.go:71-73,210). In a *continuous* crawl the per-host clock must survive across
 micro-batches and job restarts — exactly what
 ``applyInPandasWithState`` gives us: the host's (last_scheduled_ms,
 seq) pair lives in the streaming state store, checkpointed with the

@@ -211,38 +211,6 @@ class TestSketch:
         assert counts[True] >= 500
 
 
-class TestPoliteness:
-    def test_pace_group_sequential_with_delay(self):
-        from gleaner_spark.operators.politeness import pace_group
-
-        rows = [
-            {"url": f"u{i}", "position": i, "delay_ms": 100} for i in (3, 1, 2)
-        ]
-        clock = {"t": 0}
-        fetched = pace_group(
-            rows,
-            now_ms=lambda: clock["t"],
-            sleep_ms=lambda ms: clock.__setitem__("t", clock["t"] + ms),
-            fetch=lambda u: b"ok",
-        )
-        assert [r["position"] for r in fetched] == [1, 2, 3]
-        assert [r["fetched_at_ms"] for r in fetched] == [0, 100, 200]
-
-    def test_paced_fetch_dataframe(self, spark):
-        from gleaner_spark.operators.politeness import paced_fetch
-
-        rows = [
-            ("s", "h1", f"https://h1/{i}", i, 50) for i in range(5)
-        ] + [("s", "h2", f"https://h2/{i}", i, 0) for i in range(3)]
-        fr = spark.createDataFrame(
-            rows, "source_name string, host string, url string, position long, delay_ms long"
-        )
-        got = paced_fetch(fr, fetch=lambda u: u.encode(), simulate=True).collect()
-        h1 = sorted((r["position"], r["fetched_at_ms"]) for r in got if r["host"] == "h1")
-        assert [t for _, t in h1] == [0, 50, 100, 150, 200]
-        assert all(r["ok"] for r in got)
-
-
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         from gleaner_spark.operators.multimodal import (
