@@ -105,3 +105,52 @@ class TestPacedScheduleStream:
             key=lambda r: r["seq"],
         )
         assert [r["scheduled_ms"] for r in b] == [0, 50]
+
+    def test_state_survives_query_restart(self, spark, tmp_path):
+        """The north-rule resume claim, exercised for real: a NEW query
+        started from the same checkpoint continues each host's clock
+        from the state store — not from zero — so a killed continuous
+        crawl resumes mid-pacing."""
+        src = str(tmp_path / "frontier-stream")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "sched-out")
+        os.makedirs(src, exist_ok=True)
+
+        def drop(name, rows):
+            spark.createDataFrame(rows, FRONTIER_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src, name))
+
+        def run_query():
+            stream = (
+                spark.readStream.schema(FRONTIER_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/*")
+            )
+            q = (
+                paced_schedule_stream(stream)
+                # the memory sink refuses checkpoint recovery; the file
+                # sink is the restartable one
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .outputMode("append")
+                .start()
+            )
+            q.awaitTermination(120)
+            assert q.exception() is None
+
+        drop("b1", [("hostA", "u1", 1, 100), ("hostA", "u2", 2, 100)])
+        run_query()  # availableNow drains b1, then STOPS
+
+        drop("b2", [("hostA", "u3", 3, 100)])
+        run_query()  # fresh query object, same checkpoint
+
+        rows = {r["url"]: r for r in spark.read.parquet(out).collect()}
+        assert set(rows) == {"u1", "u2", "u3"}
+        # the restarted query's schedule continues from the
+        # checkpointed state (last_sched_ms=100, seq=2) — a fresh
+        # state store would have restarted u3 at seq 0 / 0ms
+        assert rows["u3"]["seq"] == 2
+        assert rows["u3"]["scheduled_ms"] == 200
