@@ -59,12 +59,23 @@ def run_harvest(
     fetch_mode: str = "pages",
     live_url_rewrite=None,
     live_timeout_s: float = 30.0,
+    live_keep_fetched: bool = False,
 ) -> HarvestResult:
     """``fetch_mode``: "pages" resolves S15 via the pages-table join
     (input_hint corpus path; ``pages`` required); "live" fetches the
     scheduled frontier over HTTP per lane (operators/livefetch.py;
     ``pages`` may be None, ``live_url_rewrite`` maps logical URLs to
-    the socket dialed — fixture servers, mirrors)."""
+    the socket dialed — fixture servers, mirrors).
+
+    Live fetches are STAGED to a ``fetched_pages`` lake checkpoint
+    before extraction, never consumed lazily: a lazy fetch inside the
+    extraction lineage would re-dial hosts whenever Spark recomputes a
+    lost or evicted partition (politeness violation + duplicate load),
+    and a phase-2 crash would re-crawl everything on resume. With the
+    stage, extraction retries hit parquet, and ``resume=True`` after a
+    crash continues from the staged bodies without re-touching any
+    host. The stage is pruned after a successful run unless
+    ``live_keep_fetched`` (bodies are the corpus — double storage)."""
     res = HarvestResult(run_id=run_id)
     t0 = time.time()
     # driver-side install too: org N-Quads expansion (phase 0) runs
@@ -141,25 +152,42 @@ def run_harvest(
         # must stay well inside driver/executor memory: 500k rows of
         # (url, host, schedule) is ~50 MB serialized; beyond that the
         # shuffled-hash path (one exchange per side) is the safe plan.
-        live_obs = None
         if fetch_mode == "live":
             from ..operators.livefetch import CONTRACT_COLS, live_fetch_pages
 
-            live = live_fetch_pages(
-                frontier,
-                accept_by_source={s.name: s.accept_content_type for s in sources},
-                url_rewrite=live_url_rewrite,
-                timeout_s=live_timeout_s,
-            )
-            # transport-failure count rides the harvest job itself
-            live_obs = Observation()
-            live = live.observe(
-                live_obs,
-                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
-            )
+            ft = lake.table("fetched_pages")
+            if not phase_done("fetched_pages"):
+                live = live_fetch_pages(
+                    frontier,
+                    accept_by_source={
+                        s.name: s.accept_content_type for s in sources
+                    },
+                    url_rewrite=live_url_rewrite,
+                    timeout_s=live_timeout_s,
+                )
+                # ONE pass over the wire, durably staged before any
+                # extraction lineage can demand a recompute (see
+                # docstring); failure count rides the write job
+                live_obs = Observation()
+                live = live.observe(
+                    live_obs,
+                    F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
+                )
+                ft.append(
+                    live.withColumn("run_id", F.lit(run_id)),
+                    run_id=run_id, partition_by=["source_name"],
+                )
+                n_failed = int(live_obs.get["failed"] or 0)
+                staged = ft.read(spark).filter(F.col("run_id") == run_id)
+            else:  # crashed after staging: resume WITHOUT re-crawling
+                staged = ft.read(spark).filter(F.col("run_id") == run_id)
+                n_failed = staged.filter(~F.col("ok")).count()
+            if n_failed:
+                res.errors.append(f"live_fetch: {n_failed} transport failures")
+            _mark("live_stage", _t)
             # only transport errors drop a URL; any HTTP status with a
             # body flows to extraction (acquire.go:146-157 quirk)
-            fetched = live.filter(F.col("ok")).select(*CONTRACT_COLS)
+            fetched = staged.filter(F.col("ok")).select(*CONTRACT_COLS)
         else:
             fetched = hv.fetch_pages(
                 frontier, pages,
@@ -207,10 +235,6 @@ def run_harvest(
             docs_out, run_id=run_id, partition_by=["source_name"]
         )
         res.new_documents = int(obs.get["n"])
-        if live_obs is not None:
-            n_failed = int(live_obs.get["failed"] or 0)
-            if n_failed:
-                res.errors.append(f"live_fetch: {n_failed} transport failures")
         _mark("documents_append", _t)
         snap_dir = f"{lake.table('documents').dir}/{snap['data_dir']}"
         if res.new_documents == 0:
@@ -258,6 +282,15 @@ def run_harvest(
         _mark("prov", _t)
 
         processed.unpersist()
+
+        # phase 2 committed: the staged bodies have served their
+        # crash-recovery purpose — drop them from the manifest unless
+        # asked to keep (data dirs are left for gc, lake.py contract)
+        if fetch_mode == "live" and not live_keep_fetched:
+            ft = lake.table("fetched_pages")
+            for s in ft.snapshots():
+                if s["run_id"] == run_id:
+                    ft.drop_snapshot(s["snapshot_id"])
     res.timings["harvest"] = time.time() - t2
     res.timings["total"] = time.time() - t0
     return res

@@ -301,6 +301,53 @@ class TestLivePoliteness:
         ).collect()
         assert not bad10[0]["ok"] and "redirect" in bad10[0]["error"]
 
+    def test_crash_after_stage_resumes_without_recrawling(
+        self, spark, server, tmp_path, monkeypatch
+    ):
+        """Live fetches are durably staged before extraction: a phase-2
+        crash after the stage resumes from parquet — zero new HTTP
+        requests (politeness on resume) — and a completed run prunes
+        the stage from the manifest."""
+        from gleaner_spark.operators import harvest as hv
+        from gleaner_spark.plans import pipeline as pl
+
+        lake_dir = str(tmp_path / "lake")
+        real = hv.extract_and_process
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected: crash between stage and extract")
+
+        monkeypatch.setattr(hv, "extract_and_process", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            _harvest(spark, lake_dir, server, run_id="live-c", resume=True)
+        monkeypatch.setattr(hv, "extract_and_process", real)
+
+        staged = Lake(lake_dir).table("fetched_pages").snapshots()
+        assert [s["run_id"] for s in staged] == ["live-c"]
+        n_before = len(server.request_log)
+
+        def dead(url):  # any re-crawl attempt would fail loudly
+            return "http://127.0.0.1:9/nope"
+
+        res = pl.run_harvest(
+            spark, Lake(lake_dir), corpus.build_sources(), None,
+            corpus.build_sitemaps(N_PAGES), corpus.build_robots(),
+            run_id="live-c", run_date="2024-01-01", resume=True,
+            fetch_mode="live", live_url_rewrite=dead,
+        )
+        assert res.errors == [] and res.new_documents > 0
+        assert len(server.request_log) == n_before  # no re-crawl
+        # same documents as a straight-through live run
+        clean = str(tmp_path / "clean")
+        _harvest(spark, clean, server, run_id="live-c2")
+        key_cols = ["source_name", "url", "sha", "unique_id", "jsonld"]
+        a = {tuple(r) for r in Lake(lake_dir).table("documents").read(spark).select(*key_cols).collect()}
+        b = {tuple(r) for r in Lake(clean).table("documents").read(spark).select(*key_cols).collect()}
+        assert a == b
+        # completed runs prune their stage
+        assert Lake(lake_dir).table("fetched_pages").snapshots() == []
+        assert Lake(clean).table("fetched_pages").snapshots() == []
+
     def test_transport_failures_are_counted_not_fatal(self, spark, server, tmp_path):
         """One source's rewrite points at a dead port: its URLs are
         skipped and counted, every other source harvests normally."""
