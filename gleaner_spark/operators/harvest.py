@@ -326,7 +326,9 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
     ).select(*out_cols)
 
 
-def _first_per_key(df: DataFrame, key: str) -> DataFrame:
+def _first_per_key(df: DataFrame, key: str,
+                   cluster_by: str | None = None,
+                   cluster_files: int = 4) -> DataFrame:
     """Deterministic within-run winner per identity key: lowest
     (position, doc_idx) = crawl order, mirroring the reference's
     serial per-source upload loop where the first PutObject wins and
@@ -334,19 +336,44 @@ def _first_per_key(df: DataFrame, key: str) -> DataFrame:
     groupBy + min_by keeps map-side partial aggregation (a window
     would sort whole partitions). (position, doc_idx) is unique within
     a source in the batch pipeline; url breaks ties deterministically
-    for callers that zero the position (streaming micro-batches)."""
+    for callers that zero the position (streaming micro-batches).
+
+    ``cluster_by`` fuses this exchange with the sink's: rows are
+    hash-partitioned on (cluster_by, pmod(xxhash64(key), files)) and
+    grouped by that superset — the extra grouping columns are
+    functions of ``key`` (key = source_name/unique_id embeds
+    cluster_by), so the groups are identical, but Catalyst sees the
+    repartition satisfy the aggregation's required distribution and
+    inserts NO second exchange. The output leaves already clustered
+    for a partitionBy(cluster_by) write (≤ files per value; pass
+    files_per_partition=0 to LakeTable.append). Without this, the
+    widest column in the pipeline — the fixed JSON-LD text — rides
+    two full shuffles: once keyed for dedup, once re-clustered for
+    the sink."""
     if "position" not in df.columns or "doc_idx" not in df.columns:
+        # exotic-caller path (no crawl order to key a winner on):
+        # arbitrary-first semantics, not eligible for exchange fusion
+        # (min_by over the full row would need every column orderable)
         return df.dropDuplicates([key])
     others = [c for c in df.columns if c != key]
     order = ["position", "doc_idx"] + (["url"] if "url" in df.columns else [])
     row = F.min_by(F.struct(*others), F.struct(*order))
-    return df.groupBy(key).agg(row.alias("_r")).select(key, "_r.*")
+    if cluster_by is None:
+        return df.groupBy(key).agg(row.alias("_r")).select(key, "_r.*")
+    salt = F.pmod(F.xxhash64(F.col(key)), F.lit(cluster_files))
+    return (
+        df.repartition(F.col(cluster_by), salt)
+        .groupBy(F.col(cluster_by), salt, F.col(key))
+        .agg(row.alias("_r"))
+        .select(key, "_r.*")
+    )
 
 
 def dedup_new_documents(spark: SparkSession, processed: DataFrame,
                         url_seen: DataFrame | None,
                         expected_seen: int = 1_000_000,
-                        sketch: BloomSketch | None = None) -> DataFrame:
+                        sketch: BloomSketch | None = None,
+                        cluster_files: int = 4) -> DataFrame:
     """S27: Bloom-prefiltered anti-join on (source_name, unique_id).
 
     The identity key is ``identifier.UniqueId`` — the reference's
@@ -362,12 +389,21 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
     candidates anti-join the authoritative seen table. Pass a
     ``sketch`` restored from a lake checkpoint to skip the
     build-from-table scan entirely (the 10^10-frontier path — the
-    sketch is maintained incrementally across runs)."""
+    sketch is maintained incrementally across runs).
+
+    The winner-per-key exchange is fused with the documents sink's
+    source_name clustering (see ``_first_per_key``): output rows
+    leave hash-partitioned on (source_name, salt-of-key), so the
+    partitioned write adds no shuffle — the document text crosses
+    the wire exactly once."""
     processed = processed.withColumn(
         "seen_key", F.concat_ws("/", "source_name", "unique_id")
     )
     if url_seen is None:
-        return _first_per_key(processed, "seen_key").drop("seen_key")
+        return _first_per_key(
+            processed, "seen_key",
+            cluster_by="source_name", cluster_files=cluster_files,
+        ).drop("seen_key")
     seen_keys = url_seen.select(
         F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
     )
@@ -378,7 +414,8 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
     candidates = tagged.filter(F.col("maybe_seen"))
     verified_new = candidates.join(seen_keys, "seen_key", "left_anti")
     return _first_per_key(
-        definitely_new.unionByName(verified_new), "seen_key"
+        definitely_new.unionByName(verified_new), "seen_key",
+        cluster_by="source_name", cluster_files=cluster_files,
     ).drop("seen_key", "maybe_seen")
 
 
@@ -493,7 +530,7 @@ def documents_table(new_docs: DataFrame, fetched_ts=None) -> DataFrame:
 
 
 def prov_table(processed: DataFrame, sources: list[Source], bucket: str,
-               run_date: str) -> DataFrame:
+               run_date: str, cluster_files: int = 0) -> DataFrame:
     """S28 for every processed doc (pre-dedup, reference quirk).
 
     The ``sha`` handed to the prov template is ``identifier.UniqueId``
@@ -505,7 +542,15 @@ def prov_table(processed: DataFrame, sources: list[Source], bucket: str,
     The prov graph is a static text template with 7 substitutions
     (prov.go:31-79) — rendered entirely JVM-side (format_string +
     sha1 inside whole-stage codegen), no Python stage; byte-equality
-    with the driver-side ``prov_graph`` renderer is pinned by test."""
+    with the driver-side ``prov_graph`` renderer is pinned by test.
+
+    ``cluster_files > 0`` pre-clusters the NARROW projection on
+    (source_name, bounded salt) BEFORE rendering, so a downstream
+    partitioned sink can write ≤ cluster_files files per source with
+    no shuffle of its own (pass files_per_partition=0 to
+    LakeTable.append). Ordering matters: the rendered template is
+    ~30x the row's key width, so rendering after the exchange moves
+    ~60 B/row through the shuffle instead of ~2 KB/row."""
     import re as _re
 
     from ..core.prov import PROV_TEMPLATE
@@ -534,8 +579,14 @@ def prov_table(processed: DataFrame, sources: list[Source], bucket: str,
         "URN": F.concat_ws(":", F.lit("urn"), F.lit(bucket), F.col("source_name"), F.col("unique_id")),
     }
     prov_doc = F.format_string(fmt, *[cols[name] for name in fields])
+    narrow = processed.select("source_name", "unique_id", "url")
+    if cluster_files > 0:
+        narrow = narrow.repartition(
+            F.col("source_name"),
+            F.pmod(F.spark_partition_id(), F.lit(cluster_files)),
+        )
     return (
-        processed.select("source_name", "unique_id", "url")
+        narrow
         .withColumn("prov_jsonld", prov_doc)
         .withColumn("prov_sha", F.sha1(F.col("prov_jsonld")))
         .withColumn("date", F.lit(run_date))

@@ -61,10 +61,34 @@ class LakeTable:
         os.replace(tmp, self._manifest_path)  # atomic publish
 
     def append(self, df: DataFrame, run_id: str | None = None,
-               partition_by: list[str] | None = None) -> dict:
-        """Write df as a new snapshot (previous snapshots untouched)."""
+               partition_by: list[str] | None = None,
+               files_per_partition: int = 4) -> dict:
+        """Write df as a new snapshot (previous snapshots untouched).
+
+        A partitioned write WITHOUT co-location emits one file per
+        (task, partition-value) pair — at cluster scale 10^4 tasks x
+        10^3 sources is 10^7 tiny objects per snapshot, the classic
+        small-file explosion that makes every subsequent scan and
+        manifest operation metadata-bound (and on this sandbox's
+        shared disk, file-create latency dominates the write itself).
+        So when ``partition_by`` is set the rows are first hash-
+        clustered on the partition columns plus a bounded salt: at
+        most ``files_per_partition`` files per partition value,
+        regardless of upstream task count, while the salt keeps a
+        skewed partition value from serializing into one writer. The
+        shuffle this adds moves exactly the bytes being written once
+        — the same trade Spark users make via ``repartition(cols)``
+        before ``partitionBy`` (files_per_partition=0 skips it)."""
         snap_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.dir, f"snap-{snap_id}")
+        if partition_by and files_per_partition > 0:
+            from pyspark.sql import functions as F
+
+            cols = [F.col(c) for c in partition_by]
+            cols.append(
+                F.pmod(F.spark_partition_id(), F.lit(files_per_partition))
+            )
+            df = df.repartition(*cols)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -173,9 +173,16 @@ def run_harvest(
                     live_obs,
                     F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
                 )
+                # files_per_partition=0: fetch tasks are (host, lane)
+                # groups, and a host maps to one source, so the direct
+                # write is already ~1 file per (task, source) — a
+                # compaction shuffle would move every fetched BODY a
+                # second time (and put the staged Observation below an
+                # AQE stage boundary, see documents_append)
                 ft.append(
                     live.withColumn("run_id", F.lit(run_id)),
                     run_id=run_id, partition_by=["source_name"],
+                    files_per_partition=0,
                 )
                 n_failed = int(live_obs.get["failed"] or 0)
                 staged = ft.read(spark).filter(F.col("run_id") == run_id)
@@ -223,6 +230,13 @@ def run_harvest(
             sketch=sketch,
         )
         docs_out = hv.documents_table(new_docs)
+        # dedup left the rows hash-clustered on (source_name, salt) —
+        # the sink writes ≤4 files per source with NO shuffle of its
+        # own (files_per_partition=0). The CollectMetrics node must
+        # stay at the plan ROOT: put below a new shuffle stage, AQE's
+        # runtime empty-relation propagation deletes it when a re-run
+        # dedups everything away, and Observation.get fails (pinned
+        # by the idempotency test).
 
         # write computes the dedup DAG once; the new-row count rides
         # on the SAME job via an Observation (no second read of the
@@ -232,7 +246,8 @@ def run_harvest(
         docs_out = docs_out.observe(obs, F.count(F.lit(1)).alias("n"))
         _mark("dedup_plan", _t)
         snap = lake.table("documents").append(
-            docs_out, run_id=run_id, partition_by=["source_name"]
+            docs_out, run_id=run_id, partition_by=["source_name"],
+            files_per_partition=0,
         )
         res.new_documents = int(obs.get["n"])
         _mark("documents_append", _t)
@@ -277,8 +292,14 @@ def run_harvest(
         # quirk, one row per processed doc → count comes free)
         res.prov_records = res.extracted
         if res.prov_records:
-            prov = hv.prov_table(docs_only, sources, bucket, run_date)
-            lake.table("prov").append(prov, run_id=run_id, partition_by=["source_name"])
+            # narrow-first clustering: the exchange moves (source,
+            # id, url) keys, the 2 KB rendered graph is born already
+            # clustered, and the sink write adds no shuffle of its own
+            prov = hv.prov_table(docs_only, sources, bucket, run_date,
+                                 cluster_files=4)
+            lake.table("prov").append(prov, run_id=run_id,
+                                      partition_by=["source_name"],
+                                      files_per_partition=0)
         _mark("prov", _t)
 
         processed.unpersist()

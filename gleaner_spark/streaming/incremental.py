@@ -125,17 +125,27 @@ def incremental_harvest(
             )
             docs_out = hv.documents_table(new_docs)
             if docs_out.limit(1).count():
+                # dedup output is already (source_name, salt)-
+                # clustered (harvest._first_per_key fusion) — the
+                # partitioned write needs no shuffle of its own
                 lake.table("documents").append(
                     docs_out, run_id=f"stream-{batch_id}",
                     partition_by=["source_name"],
+                    files_per_partition=0,
                 )
             # prov re-emits for every processed doc each run — the
             # reference quirk (jsonutils.go:378); per micro-batch here
-            prov = hv.prov_table(docs_only, sources, bucket, run_date)
+            # narrow-first clustering, same as batch phase 2: shuffle
+            # the keys, render the 2 KB graph post-exchange, no sink
+            # shuffle (micro-batches are small — 2 files/source caps
+            # the per-batch small-file growth of a long-lived stream)
+            prov = hv.prov_table(docs_only, sources, bucket, run_date,
+                                 cluster_files=2)
             if prov.limit(1).count():
                 lake.table("prov").append(
                     prov, run_id=f"stream-{batch_id}",
                     partition_by=["source_name"],
+                    files_per_partition=0,
                 )
         finally:
             processed.unpersist()
