@@ -179,7 +179,10 @@ class LakeTable:
 
 class Lake:
     """A warehouse directory holding the harvest tables
-    (SURVEY §1.2): documents, prov, orgs, url_seen, frontier, metrics."""
+    (SURVEY §1.2): documents, prov, orgs, frontier, metrics,
+    url_seen_sketch, fetched_pages (live-mode staging), and
+    phase2_commit (the marker whose presence means phase 2's writes
+    are ALL durable — resume keys on it, not on any one table)."""
 
     def __init__(self, root: str):
         self.root = root

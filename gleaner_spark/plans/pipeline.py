@@ -141,7 +141,29 @@ def run_harvest(
         res.timings[f"phase2.{label}"] = time.time() - since[0]
         since[0] = time.time()
 
-    if not phase_done("documents"):
+    # phase-2 completion is its OWN marker table, appended after the
+    # LAST phase-2 write (prov): keying the skip on the documents
+    # snapshot alone left a hole where a crash after the documents
+    # append but before prov/metrics made resume skip the phase and
+    # lose the run's prov/metrics forever.
+    if not phase_done("phase2_commit"):
+        if resume:
+            # torn-run recovery: drop THIS run's partial phase-2
+            # snapshots so the re-run starts from the pre-run table
+            # state (manifest-only; data dirs left for gc). Without
+            # this, the re-run would dedup against the half-committed
+            # documents (adding 0) and then double-append prov. The
+            # sketch checkpoint is rolled back too: once the torn
+            # documents snapshot is gone, the PREVIOUS checkpoint's
+            # covers_snapshot_id matches the table head again and
+            # re-validates. Staged live fetches are deliberately NOT
+            # rolled back — resuming without re-dialing hosts is the
+            # point of the stage.
+            for tname in ("documents", "prov", "metrics", hv.SKETCH_TABLE):
+                t = lake.table(tname)
+                for s in t.snapshots():
+                    if s["run_id"] == run_id:
+                        t.drop_snapshot(s["snapshot_id"])
         _t = [time.time()]
         # html flows through the fused stage exactly once and is never
         # cached: the (lightweight) fused output carries sentinel rows
@@ -303,6 +325,19 @@ def run_harvest(
         _mark("prov", _t)
 
         processed.unpersist()
+
+        # the commit marker is the LAST durable write of the phase:
+        # everything before it re-runs cleanly after a crash (torn
+        # snapshots rolled back above), everything after it is
+        # idempotent cleanup
+        lake.table("phase2_commit").append_local(
+            [{
+                "new_documents": res.new_documents,
+                "fetched": res.fetched,
+                "extracted": res.extracted,
+            }],
+            run_id=run_id,
+        )
 
         # phase 2 committed: the staged bodies have served their
         # crash-recovery purpose — drop them from the manifest unless

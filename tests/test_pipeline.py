@@ -689,3 +689,62 @@ def test_matched_string_stored_for_identifiersha_source(spark, tmp_lake, world):
     assert with_match.filter(
         (F.col("matched_string").isNull()) | (F.col("matched_string") == "")
     ).count() == 0
+
+
+def test_phase2_crash_before_prov_resume_recovers(spark, tmp_lake, world):
+    """Torn-phase-2 recovery (the window the documents-keyed skip
+    left open): crash AFTER the documents append but BEFORE prov.
+    Resuming the same run_id must roll the torn snapshots back and
+    re-run the phase, ending with documents AND prov tables equal to
+    a clean run's — not a skipped phase with prov missing forever,
+    and not doubled prov from re-appending over the torn state."""
+    from gleaner_spark.operators import harvest as hv
+
+    # clean reference run in a separate lake
+    clean = Lake(str(tmp_lake) + "-clean")
+    rc = run_harvest(spark, clean, world["sources"], world["pages"],
+                     world["sitemaps"], world["robots"], run_id="pw1")
+    clean_docs = clean.table("documents").read(spark).count()
+    clean_prov = clean.table("prov").read(spark).count()
+    assert rc.prov_records == clean_prov > 0
+
+    lake = Lake(tmp_lake)
+    real_prov_table = hv.prov_table
+
+    def torn(*a, **k):
+        raise RuntimeError("injected crash: killed before prov")
+
+    hv.prov_table = torn
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_harvest(spark, lake, world["sources"], world["pages"],
+                        world["sitemaps"], world["robots"], run_id="pw1")
+    finally:
+        hv.prov_table = real_prov_table
+
+    # the torn run committed documents (+ sketch) but no prov/marker
+    assert lake.table("documents").read(spark).count() == clean_docs
+    assert lake.table("prov").read(spark) is None
+    assert lake.table("phase2_commit").latest_snapshot() is None
+
+    # resume: rollback + full re-run of phase 2
+    r2 = run_harvest(spark, lake, world["sources"], world["pages"],
+                     world["sitemaps"], world["robots"], run_id="pw1",
+                     resume=True)
+    assert r2.new_documents == rc.new_documents
+    assert lake.table("documents").read(spark).count() == clean_docs
+    assert lake.table("prov").read(spark).count() == clean_prov
+    snap = lake.table("phase2_commit").latest_snapshot()
+    assert snap is not None and snap["run_id"] == "pw1"
+    # the rolled-back sketch story stays coherent: whatever checkpoint
+    # is live now covers the current documents head
+    entry = hv.load_seen_sketch(lake)
+    assert entry is not None
+
+    # and a third resume is a pure no-op (marker present)
+    r3 = run_harvest(spark, lake, world["sources"], world["pages"],
+                     world["sitemaps"], world["robots"], run_id="pw1",
+                     resume=True)
+    assert r3.new_documents == 0
+    assert lake.table("documents").read(spark).count() == clean_docs
+    assert lake.table("prov").read(spark).count() == clean_prov
