@@ -339,13 +339,22 @@ def _first_per_key(df: DataFrame, key: str,
     for callers that zero the position (streaming micro-batches).
 
     ``cluster_by`` fuses this exchange with the sink's: rows are
-    hash-partitioned on (cluster_by, pmod(xxhash64(key), files)) and
-    grouped by that superset — the extra grouping columns are
-    functions of ``key`` (key = source_name/unique_id embeds
-    cluster_by), so the groups are identical, but Catalyst sees the
-    repartition satisfy the aggregation's required distribution and
-    inserts NO second exchange. The output leaves already clustered
-    for a partitionBy(cluster_by) write (≤ files per value; pass
+    hash-partitioned on two expressions derived from ``key`` ALONE —
+    its first '/'-segment (equal to ``cluster_by`` = source_name for
+    every slash-free source name, i.e. always in practice) and a
+    bounded salt — and grouped by that superset. Because every extra
+    grouping column is a pure function of ``key``, the groups are
+    EXACTLY groupBy(key)'s: even the degenerate collision where two
+    (source, id) splits concat to one seen_key (source 'a' + id 'b/c'
+    vs source 'a/b' + id 'c') keeps collapsing to one winner — which
+    is the reference's semantics too, since both spell the same
+    object path summoned/a/b/c.jsonld and StatObject keys on the
+    path (jsonutils.go:355-357,384-386). Grouping on the REAL
+    source_name column instead would split that key into two winners
+    while the cross-run anti-join still treats it as one. Catalyst
+    sees the repartition satisfy the aggregation's distribution and
+    inserts NO second exchange; the output leaves clustered for a
+    partitionBy(cluster_by) write (≤ files per value; pass
     files_per_partition=0 to LakeTable.append). Without this, the
     widest column in the pipeline — the fixed JSON-LD text — rides
     two full shuffles: once keyed for dedup, once re-clustered for
@@ -360,10 +369,11 @@ def _first_per_key(df: DataFrame, key: str,
     row = F.min_by(F.struct(*others), F.struct(*order))
     if cluster_by is None:
         return df.groupBy(key).agg(row.alias("_r")).select(key, "_r.*")
+    seg = F.substring_index(F.col(key), "/", 1)
     salt = F.pmod(F.xxhash64(F.col(key)), F.lit(cluster_files))
     return (
-        df.repartition(F.col(cluster_by), salt)
-        .groupBy(F.col(cluster_by), salt, F.col(key))
+        df.repartition(seg, salt)
+        .groupBy(seg, salt, F.col(key))
         .agg(row.alias("_r"))
         .select(key, "_r.*")
     )

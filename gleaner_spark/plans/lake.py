@@ -102,8 +102,28 @@ class LakeTable:
             "data_dir": f"snap-{snap_id}",
             "rows": rows,
         }
+        # an all-rows-filtered PARTITIONED write leaves a dir holding
+        # only _SUCCESS — spark.read.parquet on it raises
+        # UNABLE_TO_INFER_SCHEMA, so publishing it would wedge every
+        # future read() of the table (and an append-then-retract dance
+        # in the caller still has a crash window between publish and
+        # retract). Refuse to publish dataless snapshots at the
+        # manifest boundary instead; the entry is returned unpublished
+        # (flat writes of an empty frame DO emit a schema-bearing
+        # 0-row file and publish normally).
+        if not self._has_data(data_dir):
+            entry["published"] = False
+            entry["rows"] = 0
+            return entry
         self._publish(entry)
         return entry
+
+    @staticmethod
+    def _has_data(data_dir: str) -> bool:
+        for _root, _dirs, files in os.walk(data_dir):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def append_local(self, rows: list[dict], run_id: str | None = None) -> dict:
         """Append a snapshot from driver-side rows via pyarrow — for
@@ -144,7 +164,10 @@ class LakeTable:
                     break
             snaps = keep
         dirs = [os.path.join(self.dir, s["data_dir"]) for s in snaps]
-        dirs = [d for d in dirs if os.path.isdir(d)]
+        # dataless dirs (only _SUCCESS) would fail schema inference —
+        # append() refuses to publish them, but skip defensively so a
+        # manifest written by an older version can't wedge the table
+        dirs = [d for d in dirs if os.path.isdir(d) and self._has_data(d)]
         if not dirs:
             return None
         # each snapshot dir is its own partitioned root: load separately

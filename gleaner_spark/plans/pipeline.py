@@ -145,8 +145,15 @@ def run_harvest(
     # LAST phase-2 write (prov): keying the skip on the documents
     # snapshot alone left a hole where a crash after the documents
     # append but before prov/metrics made resume skip the phase and
-    # lose the run's prov/metrics forever.
-    if not phase_done("phase2_commit"):
+    # lose the run's prov/metrics forever. The marker check scans the
+    # WHOLE manifest, not just the head: latest_snapshot alone would
+    # misread a run that committed before a newer run as torn, and
+    # the rollback below would then destroy its published data.
+    phase2_committed = resume and any(
+        s["run_id"] == run_id
+        for s in lake.table("phase2_commit").snapshots()
+    )
+    if not phase2_committed:
         if resume:
             # torn-run recovery: drop THIS run's partial phase-2
             # snapshots so the re-run starts from the pre-run table
@@ -246,19 +253,26 @@ def run_harvest(
         )
         # the raw pre-fixup text never reaches a sink (documents store
         # the fixed text as `jsonld`) — drop it before the dedup
-        # shuffle so the widest column doesn't ride through it
+        # shuffle so the widest column doesn't ride through it.
+        # Cluster width trades files against tasks: per source it is
+        # both the max sink files AND the max dedup/write tasks, so
+        # size it to the cores a source's share of the run deserves —
+        # a single-source harvest gets full parallelism, a 10^3-source
+        # crawl stays at 4 files/source.
+        cfiles = max(4, -(-spark.sparkContext.defaultParallelism
+                          // max(1, len(sources))))
         new_docs = hv.dedup_new_documents(
             spark, docs_only.drop("jsonld", "page_bytes", "page_first"), seen,
-            sketch=sketch,
+            sketch=sketch, cluster_files=cfiles,
         )
         docs_out = hv.documents_table(new_docs)
-        # dedup left the rows hash-clustered on (source_name, salt) —
-        # the sink writes ≤4 files per source with NO shuffle of its
-        # own (files_per_partition=0). The CollectMetrics node must
-        # stay at the plan ROOT: put below a new shuffle stage, AQE's
-        # runtime empty-relation propagation deletes it when a re-run
-        # dedups everything away, and Observation.get fails (pinned
-        # by the idempotency test).
+        # dedup left the rows hash-clustered on (key-segment, salt) —
+        # the sink writes ≤cfiles files per source with NO shuffle of
+        # its own (files_per_partition=0). The CollectMetrics node
+        # must stay at the plan ROOT: put below a new shuffle stage,
+        # AQE's runtime empty-relation propagation deletes it when a
+        # re-run dedups everything away, and Observation.get fails
+        # (pinned by the idempotency test).
 
         # write computes the dedup DAG once; the new-row count rides
         # on the SAME job via an Observation (no second read of the
@@ -274,9 +288,9 @@ def run_harvest(
         res.new_documents = int(obs.get["n"])
         _mark("documents_append", _t)
         snap_dir = f"{lake.table('documents').dir}/{snap['data_dir']}"
-        if res.new_documents == 0:
-            lake.table("documents").drop_snapshot(snap["snapshot_id"])
-        else:
+        # zero-new-row appends never entered the manifest (the lake
+        # refuses dataless snapshots), so there is nothing to retract
+        if res.new_documents > 0:
             snap_keys = spark.read.parquet(snap_dir).select(
                 F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
             )
@@ -339,14 +353,17 @@ def run_harvest(
             run_id=run_id,
         )
 
-        # phase 2 committed: the staged bodies have served their
-        # crash-recovery purpose — drop them from the manifest unless
-        # asked to keep (data dirs are left for gc, lake.py contract)
-        if fetch_mode == "live" and not live_keep_fetched:
-            ft = lake.table("fetched_pages")
-            for s in ft.snapshots():
-                if s["run_id"] == run_id:
-                    ft.drop_snapshot(s["snapshot_id"])
+    # phase 2 committed (this run or a previous resumed one): the
+    # staged bodies have served their crash-recovery purpose — drop
+    # them from the manifest unless asked to keep (data dirs are left
+    # for gc, lake.py contract). OUTSIDE the phase-2 block so a crash
+    # between the commit marker and this prune still gets cleaned up
+    # by the next resume instead of leaking the staged corpus forever.
+    if fetch_mode == "live" and not live_keep_fetched:
+        ft = lake.table("fetched_pages")
+        for s in ft.snapshots():
+            if s["run_id"] == run_id:
+                ft.drop_snapshot(s["snapshot_id"])
     res.timings["harvest"] = time.time() - t2
     res.timings["total"] = time.time() - t0
     return res

@@ -126,26 +126,18 @@ def incremental_harvest(
             docs_out = hv.documents_table(new_docs)
             # single-pass write, batch-pipeline pattern: the old
             # limit(1).count() emptiness probe ran the whole dedup
-            # plan a second time per micro-batch; instead write once
-            # with the row count riding an Observation (kept at the
-            # plan ROOT — AQE's empty-relation propagation deletes
-            # below-shuffle CollectMetrics nodes on all-dup batches)
-            # and retract the snapshot when nothing was new. dedup
-            # output is already (source_name, salt)-clustered
+            # plan a second time per micro-batch. One append suffices:
+            # the lake refuses to publish dataless snapshots, so an
+            # all-dup batch leaves the manifest untouched with no
+            # retract step (and no publish-then-retract crash window).
+            # dedup output is already (key-segment, salt)-clustered
             # (harvest._first_per_key fusion), so the partitioned
             # write adds no shuffle of its own.
-            from pyspark.sql import Observation
-
-            dobs = Observation()
-            docs_out = docs_out.observe(dobs, F.count(F.lit(1)).alias("n"))
-            dt = lake.table("documents")
-            snap = dt.append(
+            lake.table("documents").append(
                 docs_out, run_id=f"stream-{batch_id}",
                 partition_by=["source_name"],
                 files_per_partition=0,
             )
-            if not int(dobs.get["n"]):
-                dt.drop_snapshot(snap["snapshot_id"])
             # prov re-emits for every processed doc each run — the
             # reference quirk (jsonutils.go:378); per micro-batch here
             # narrow-first clustering, same as batch phase 2: shuffle
@@ -154,16 +146,11 @@ def incremental_harvest(
             # the per-batch small-file growth of a long-lived stream)
             prov = hv.prov_table(docs_only, sources, bucket, run_date,
                                  cluster_files=2)
-            pobs = Observation()
-            prov = prov.observe(pobs, F.count(F.lit(1)).alias("n"))
-            pt = lake.table("prov")
-            snap = pt.append(
+            lake.table("prov").append(
                 prov, run_id=f"stream-{batch_id}",
                 partition_by=["source_name"],
                 files_per_partition=0,
             )
-            if not int(pobs.get["n"]):
-                pt.drop_snapshot(snap["snapshot_id"])
         finally:
             processed.unpersist()
 

@@ -191,3 +191,58 @@ class TestAnnDedupPlanShapes:
         assert plan.count("Exchange") == 1
         assert "FlatMapGroupsInPandas" in plan
         assert "Join" not in plan
+
+
+class TestLakeSnapshotHygiene:
+    def test_dataless_partitioned_append_is_not_published(self, spark, tmp_lake):
+        """An all-rows-filtered partitionBy write leaves a dir with
+        only _SUCCESS; reading it raises UNABLE_TO_INFER_SCHEMA, so
+        publishing it would wedge every later read of the table. The
+        lake must refuse it at the manifest boundary — no
+        caller-side append-then-retract window."""
+        from pyspark.sql import functions as F
+
+        from gleaner_spark.plans.lake import Lake
+
+        lake = Lake(tmp_lake)
+        t = lake.table("documents")
+        df = spark.range(5).select(
+            (F.col("id") % 2).cast("string").alias("source_name"),
+            F.col("id").cast("string").alias("v"),
+        )
+        snap = t.append(df, run_id="r1", partition_by=["source_name"])
+        assert snap.get("published", True) is not False
+        n_before = len(t.snapshots())
+
+        empty = df.filter(F.lit(False))
+        snap2 = t.append(empty, run_id="r2", partition_by=["source_name"])
+        assert snap2["published"] is False and snap2["rows"] == 0
+        assert len(t.snapshots()) == n_before  # manifest untouched
+        assert t.read(spark).count() == 5  # table still readable
+
+    def test_fused_dedup_collapses_slash_collision_like_reference(self, spark):
+        """seen_key = source '/' unique_id is not injective: source
+        'a' + id 'b/c' and source 'a/b' + id 'c' concat to one key —
+        and ONE object path summoned/a/b/c.jsonld in the reference,
+        whose StatObject idempotency keys on the path
+        (jsonutils.go:355-357). The fused (key-derived) grouping must
+        keep collapsing them to one winner; grouping on the real
+        source_name column would split them."""
+        from pyspark.sql import functions as F
+
+        from gleaner_spark.operators import harvest as hv
+
+        rows = [
+            ("a", "u1", 1, 0, "b/c", "doc1"),
+            ("a/b", "u2", 2, 0, "c", "doc2"),
+            ("a", "u3", 3, 0, "other", "doc3"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "source_name string, url string, position long, doc_idx int,"
+            " unique_id string, fixed_jsonld string",
+        )
+        out = hv.dedup_new_documents(spark, df, None)
+        got = {(r["source_name"], r["unique_id"]) for r in out.collect()}
+        # crawl-order winner of the collided key is position 1
+        assert got == {("a", "b/c"), ("a", "other")}

@@ -748,3 +748,31 @@ def test_phase2_crash_before_prov_resume_recovers(spark, tmp_lake, world):
     assert r3.new_documents == 0
     assert lake.table("documents").read(spark).count() == clean_docs
     assert lake.table("prov").read(spark).count() == clean_prov
+
+
+def test_resume_of_older_completed_run_destroys_nothing(spark, tmp_lake, world):
+    """The torn-run detector must scan the whole marker manifest, not
+    just its head: resuming run r1 AFTER run r2 committed would
+    otherwise misread r1 as torn and roll back — i.e. destroy — its
+    published documents/prov/metrics snapshots."""
+    lake = Lake(tmp_lake)
+    r1 = run_harvest(spark, lake, world["sources"], world["pages"],
+                     world["sitemaps"], world["robots"], run_id="r1")
+    grown = corpus.build_pages(spark, N_PAGES + 40, partitions=4)
+    r2 = run_harvest(spark, lake, world["sources"], grown,
+                     corpus.build_sitemaps(N_PAGES + 40), world["robots"],
+                     run_id="r2")
+    assert r2.new_documents > 0
+    docs_total = lake.table("documents").read(spark).count()
+    prov_total = lake.table("prov").read(spark).count()
+
+    r1b = run_harvest(spark, lake, world["sources"], world["pages"],
+                      world["sitemaps"], world["robots"], run_id="r1",
+                      resume=True)
+    assert r1b.new_documents == 0
+    assert lake.table("documents").read(spark).count() == docs_total
+    assert lake.table("prov").read(spark).count() == prov_total
+    # r1's own snapshots are still in the manifests
+    assert any(s["run_id"] == "r1"
+               for s in lake.table("documents").snapshots())
+    assert any(s["run_id"] == "r1" for s in lake.table("prov").snapshots())
