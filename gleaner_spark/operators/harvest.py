@@ -327,7 +327,7 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
 
 
 def _first_per_key(df: DataFrame, key: str,
-                   cluster_by: str | None = None,
+                   fuse_sink_cluster: bool = False,
                    cluster_files: int = 4) -> DataFrame:
     """Deterministic within-run winner per identity key: lowest
     (position, doc_idx) = crawl order, mirroring the reference's
@@ -338,11 +338,11 @@ def _first_per_key(df: DataFrame, key: str,
     a source in the batch pipeline; url breaks ties deterministically
     for callers that zero the position (streaming micro-batches).
 
-    ``cluster_by`` fuses this exchange with the sink's: rows are
-    hash-partitioned on two expressions derived from ``key`` ALONE —
-    its first '/'-segment (equal to ``cluster_by`` = source_name for
-    every slash-free source name, i.e. always in practice) and a
-    bounded salt — and grouped by that superset. Because every extra
+    ``fuse_sink_cluster`` fuses this exchange with the sink's: rows
+    are hash-partitioned on two expressions derived from ``key``
+    ALONE — its first '/'-segment (equal to source_name for every
+    slash-free source name, i.e. always in practice) and a bounded
+    salt — and grouped by that superset. Because every extra
     grouping column is a pure function of ``key``, the groups are
     EXACTLY groupBy(key)'s: even the degenerate collision where two
     (source, id) splits concat to one seen_key (source 'a' + id 'b/c'
@@ -354,7 +354,7 @@ def _first_per_key(df: DataFrame, key: str,
     while the cross-run anti-join still treats it as one. Catalyst
     sees the repartition satisfy the aggregation's distribution and
     inserts NO second exchange; the output leaves clustered for a
-    partitionBy(cluster_by) write (≤ files per value; pass
+    partitionBy(source_name) write (≤ files per value; pass
     files_per_partition=0 to LakeTable.append). Without this, the
     widest column in the pipeline — the fixed JSON-LD text — rides
     two full shuffles: once keyed for dedup, once re-clustered for
@@ -367,7 +367,7 @@ def _first_per_key(df: DataFrame, key: str,
     others = [c for c in df.columns if c != key]
     order = ["position", "doc_idx"] + (["url"] if "url" in df.columns else [])
     row = F.min_by(F.struct(*others), F.struct(*order))
-    if cluster_by is None:
+    if not fuse_sink_cluster:
         return df.groupBy(key).agg(row.alias("_r")).select(key, "_r.*")
     seg = F.substring_index(F.col(key), "/", 1)
     salt = F.pmod(F.xxhash64(F.col(key)), F.lit(cluster_files))
@@ -403,7 +403,7 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
 
     The winner-per-key exchange is fused with the documents sink's
     source_name clustering (see ``_first_per_key``): output rows
-    leave hash-partitioned on (source_name, salt-of-key), so the
+    leave hash-partitioned on (key-segment, salt-of-key), so the
     partitioned write adds no shuffle — the document text crosses
     the wire exactly once."""
     processed = processed.withColumn(
@@ -412,7 +412,7 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
     if url_seen is None:
         return _first_per_key(
             processed, "seen_key",
-            cluster_by="source_name", cluster_files=cluster_files,
+            fuse_sink_cluster=True, cluster_files=cluster_files,
         ).drop("seen_key")
     seen_keys = url_seen.select(
         F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
@@ -425,7 +425,7 @@ def dedup_new_documents(spark: SparkSession, processed: DataFrame,
     verified_new = candidates.join(seen_keys, "seen_key", "left_anti")
     return _first_per_key(
         definitely_new.unionByName(verified_new), "seen_key",
-        cluster_by="source_name", cluster_files=cluster_files,
+        fuse_sink_cluster=True, cluster_files=cluster_files,
     ).drop("seen_key", "maybe_seen")
 
 

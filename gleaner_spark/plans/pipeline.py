@@ -87,8 +87,14 @@ def run_harvest(
     apply_context_maps(context_maps)
 
     def phase_done(table: str) -> bool:
-        snap = lake.table(table).latest_snapshot()
-        return bool(resume and snap and snap["run_id"] == run_id)
+        # scan the WHOLE manifest, never just the head: with runs
+        # interleaved (r1 resumed after r2 committed), a head-only
+        # check misreads r1's completed phase as missing and re-runs
+        # it — durably duplicating frontier rows, flipping the orgs
+        # head back to the older run, and double-appending prov
+        return bool(resume) and any(
+            s["run_id"] == run_id for s in lake.table(table).snapshots()
+        )
 
     # ---- Phase 0: orgs (root.go:159; overwrite-per-run, org.go:81) ----
     if not phase_done("orgs"):
@@ -145,15 +151,11 @@ def run_harvest(
     # LAST phase-2 write (prov): keying the skip on the documents
     # snapshot alone left a hole where a crash after the documents
     # append but before prov/metrics made resume skip the phase and
-    # lose the run's prov/metrics forever. The marker check scans the
-    # WHOLE manifest, not just the head: latest_snapshot alone would
-    # misread a run that committed before a newer run as torn, and
-    # the rollback below would then destroy its published data.
-    phase2_committed = resume and any(
-        s["run_id"] == run_id
-        for s in lake.table("phase2_commit").snapshots()
-    )
-    if not phase2_committed:
+    # lose the run's prov/metrics forever. phase_done scans the whole
+    # manifest — a head-only check would misread a run that committed
+    # before a newer run as torn, and the rollback below would then
+    # destroy its published data.
+    if not phase_done("phase2_commit"):
         if resume:
             # torn-run recovery: drop THIS run's partial phase-2
             # snapshots so the re-run starts from the pre-run table
@@ -214,9 +216,9 @@ def run_harvest(
                     files_per_partition=0,
                 )
                 n_failed = int(live_obs.get["failed"] or 0)
-                staged = ft.read(spark).filter(F.col("run_id") == run_id)
+                staged = _staged_fetches(spark, ft, run_id)
             else:  # crashed after staging: resume WITHOUT re-crawling
-                staged = ft.read(spark).filter(F.col("run_id") == run_id)
+                staged = _staged_fetches(spark, ft, run_id)
                 n_failed = staged.filter(~F.col("ok")).count()
             if n_failed:
                 res.errors.append(f"live_fetch: {n_failed} transport failures")
@@ -349,6 +351,10 @@ def run_harvest(
                 "new_documents": res.new_documents,
                 "fetched": res.fetched,
                 "extracted": res.extracted,
+                # the keep decision rides the marker so a later resume
+                # honors the ORIGINAL run's choice even if the caller
+                # forgets the flag (kept staged bodies are the corpus)
+                "keep_fetched": bool(live_keep_fetched),
             }],
             run_id=run_id,
         )
@@ -359,7 +365,12 @@ def run_harvest(
     # for gc, lake.py contract). OUTSIDE the phase-2 block so a crash
     # between the commit marker and this prune still gets cleaned up
     # by the next resume instead of leaking the staged corpus forever.
-    if fetch_mode == "live" and not live_keep_fetched:
+    # The keep decision honors the MARKER too: a resume of a
+    # completed run that staged with live_keep_fetched=True must not
+    # retract the kept corpus just because the resuming caller used
+    # the default flag.
+    if (fetch_mode == "live" and not live_keep_fetched
+            and not _marker_keeps_fetched(lake, run_id)):
         ft = lake.table("fetched_pages")
         for s in ft.snapshots():
             if s["run_id"] == run_id:
@@ -367,6 +378,48 @@ def run_harvest(
     res.timings["harvest"] = time.time() - t2
     res.timings["total"] = time.time() - t0
     return res
+
+
+def _marker_keeps_fetched(lake: Lake, run_id: str) -> bool:
+    """True if any phase-2 commit marker for this run recorded
+    keep_fetched — the durable record of the original invocation's
+    choice (rows are driver-written single-file parquet)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    t = lake.table("phase2_commit")
+    for s in t.snapshots():
+        if s["run_id"] != run_id:
+            continue
+        for f in _glob.glob(_os.path.join(t.dir, s["data_dir"], "*.parquet")):
+            try:
+                for row in _pq.read_table(f).to_pylist():
+                    if row.get("keep_fetched"):
+                        return True
+            except Exception:  # noqa: BLE001 - corrupt marker = no keep
+                continue
+    return False
+
+
+def _staged_fetches(spark: SparkSession, ft, run_id: str) -> DataFrame:
+    """This run's staged live fetches — empty frame (not None) when
+    the stage wrote zero rows: a frontier whose every URL was
+    robots-blocked produces a dataless append the lake refuses to
+    publish, and ``ft.read`` then returns None, which must not crash
+    the .filter chain."""
+    df = ft.read(spark)
+    if df is None:
+        from ..operators.livefetch import LIVE_FETCH_SCHEMA
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(LIVE_FETCH_SCHEMA.fields)
+            + [T.StructField("run_id", T.StringType())]
+        )
+        return spark.createDataFrame([], schema)
+    return df.filter(F.col("run_id") == run_id)
 
 
 def read_documents(spark: SparkSession, lake: Lake) -> DataFrame | None:

@@ -369,3 +369,26 @@ class TestLivePoliteness:
         srcs = {r["source_name"] for r in docs.select("source_name").distinct().collect()}
         assert "src3" not in srcs
         assert {"src0", "src1", "src2", "src4"} <= srcs
+
+
+class TestLiveEmptyFrontier:
+    def test_zero_url_live_run_completes(self, spark, server, tmp_path):
+        """A live run whose frontier is empty (no reachable sitemaps)
+        stages ZERO fetch rows; the dataless staging snapshot is
+        refused publication and the staged read returns None — the
+        pipeline must complete with empty tables, not crash on the
+        None .filter chain."""
+        lake = Lake(str(tmp_path / "empty-live"))
+        res = run_harvest(
+            spark, lake, corpus.build_sources(), None,
+            {},  # no sitemap bodies at all -> empty frontier
+            corpus.build_robots(),
+            run_id="live-empty", run_date="2024-01-01",
+            fetch_mode="live", live_url_rewrite=_rewrite_for(server.port),
+        )
+        assert res.frontier_size == 0
+        assert res.new_documents == 0 and res.fetched == 0
+        assert lake.table("documents").read(spark) is None
+        # the phase still commits: a resume is a no-op, not a re-crawl
+        assert any(s["run_id"] == "live-empty"
+                   for s in lake.table("phase2_commit").snapshots())
