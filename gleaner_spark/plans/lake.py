@@ -50,15 +50,24 @@ class LakeTable:
         snaps = self.snapshots()
         return snaps[-1] if snaps else None
 
-    def _publish(self, entry: dict) -> None:
-        snaps = self.snapshots()
-        snaps.append(entry)
+    def _write_manifest(self, snaps: list[dict]) -> None:
+        """Durably replace the manifest: flush+fsync the temp file
+        BEFORE the atomic rename, so a crash mid-rewrite can never
+        leave a truncated manifest that wedges snapshots() with a
+        JSONDecodeError. Every manifest mutation (publish, drop,
+        rollback) must go through here — drop/rollback are now
+        load-bearing in torn-run recovery (ADVICE r4)."""
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(snaps, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path)  # atomic publish
+
+    def _publish(self, entry: dict) -> None:
+        snaps = self.snapshots()
+        snaps.append(entry)
+        self._write_manifest(snaps)
 
     def append(self, df: DataFrame, run_id: str | None = None,
                partition_by: list[str] | None = None,
@@ -180,12 +189,9 @@ class LakeTable:
 
     def drop_snapshot(self, snapshot_id: str) -> None:
         """Remove one snapshot from the manifest (used to discard
-        empty appends); its data dir is left for gc."""
+        empty appends); its data dir is left for vacuum()."""
         snaps = [s for s in self.snapshots() if s["snapshot_id"] != snapshot_id]
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(snaps, f, indent=1)
-        os.replace(tmp, self._manifest_path)
+        self._write_manifest(snaps)
 
     def rollback_to(self, snapshot_id: str) -> None:
         snaps = self.snapshots()
@@ -194,10 +200,44 @@ class LakeTable:
             keep.append(s)
             if s["snapshot_id"] == snapshot_id:
                 break
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(keep, f, indent=1)
-        os.replace(tmp, self._manifest_path)
+        self._write_manifest(keep)
+
+    def vacuum(self, min_age_s: float = 3600.0) -> list[str]:
+        """Delete ``snap-*`` data dirs not referenced by the manifest.
+
+        drop_snapshot/rollback_to and refused dataless appends leave
+        their data dirs behind (dropping the manifest entry first is
+        what makes the retraction atomic); without gc those dirs
+        accumulate forever — the same small-file/metadata hazard the
+        sink clustering exists to prevent. Only dirs older than
+        ``min_age_s`` are removed so an in-flight append (files
+        written, manifest entry not yet published) is never swept.
+        On Iceberg proper this is ``expire_snapshots`` +
+        ``remove_orphan_files``. Returns the removed dir names."""
+        import shutil
+
+        live = {s["data_dir"] for s in self.snapshots()}
+        now = time.time()
+        removed = []
+        try:
+            entries = os.listdir(self.dir)
+        except FileNotFoundError:
+            return removed
+        for name in entries:
+            if not name.startswith("snap-") or name in live:
+                continue
+            path = os.path.join(self.dir, name)
+            if not os.path.isdir(path):
+                continue
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age < min_age_s:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(name)
+        return removed
 
 
 class Lake:
@@ -213,3 +253,16 @@ class Lake:
 
     def table(self, name: str) -> LakeTable:
         return LakeTable(self.root, name)
+
+    def vacuum(self, min_age_s: float = 3600.0) -> dict[str, list[str]]:
+        """vacuum() every table in the warehouse; returns
+        {table_name: [removed snap dirs]} for tables that had orphans."""
+        out: dict[str, list[str]] = {}
+        for name in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, name)
+            if not os.path.isdir(tdir):
+                continue
+            removed = LakeTable(self.root, name).vacuum(min_age_s=min_age_s)
+            if removed:
+                out[name] = removed
+        return out

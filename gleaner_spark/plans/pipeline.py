@@ -236,128 +236,146 @@ def run_harvest(
             fetched, sources, hw, global_strict, context_maps=context_maps
         )
         processed = processed.persist()
-        docs_only = processed.filter(F.col("doc_idx") >= 0)
-        _mark("plan", _t)
+        try:
+            docs_only = processed.filter(F.col("doc_idx") >= 0)
+            _mark("plan", _t)
 
-        # the seen set IS the documents table projection, keyed on
-        # identifier.UniqueId — the reference's object names and its
-        # StatObject idempotency check (jsonutils.go:355-357,384-386)
-        # — so no separate url_seen table to keep in sync
-        seen_src = lake.table("documents").read(spark)
-        seen = seen_src.select("source_name", "unique_id") if seen_src is not None else None
-        # seen-set sketch from the lake checkpoint (north rule): skips
-        # the build-from-table scan; only used while under capacity
-        sk_entry = hv.load_seen_sketch(lake)
-        sketch = (
-            sk_entry[0]
-            if seen is not None and sk_entry is not None and sk_entry[1] <= sk_entry[2]
-            else None
-        )
-        # the raw pre-fixup text never reaches a sink (documents store
-        # the fixed text as `jsonld`) — drop it before the dedup
-        # shuffle so the widest column doesn't ride through it.
-        # Cluster width trades files against tasks: per source it is
-        # both the max sink files AND the max dedup/write tasks, so
-        # size it to the cores a source's share of the run deserves —
-        # a single-source harvest gets full parallelism, a 10^3-source
-        # crawl stays at 4 files/source.
-        cfiles = max(4, -(-spark.sparkContext.defaultParallelism
-                          // max(1, len(sources))))
-        new_docs = hv.dedup_new_documents(
-            spark, docs_only.drop("jsonld", "page_bytes", "page_first"), seen,
-            sketch=sketch, cluster_files=cfiles,
-        )
-        docs_out = hv.documents_table(new_docs)
-        # dedup left the rows hash-clustered on (key-segment, salt) —
-        # the sink writes ≤cfiles files per source with NO shuffle of
-        # its own (files_per_partition=0). The CollectMetrics node
-        # must stay at the plan ROOT: put below a new shuffle stage,
-        # AQE's runtime empty-relation propagation deletes it when a
-        # re-run dedups everything away, and Observation.get fails
-        # (pinned by the idempotency test).
-
-        # write computes the dedup DAG once; the new-row count rides
-        # on the SAME job via an Observation (no second read of the
-        # snapshot — one fewer fixed-cost job per run, which is what
-        # small-cluster efficiency is made of)
-        obs = Observation()
-        docs_out = docs_out.observe(obs, F.count(F.lit(1)).alias("n"))
-        _mark("dedup_plan", _t)
-        snap = lake.table("documents").append(
-            docs_out, run_id=run_id, partition_by=["source_name"],
-            files_per_partition=0,
-        )
-        res.new_documents = int(obs.get["n"])
-        _mark("documents_append", _t)
-        snap_dir = f"{lake.table('documents').dir}/{snap['data_dir']}"
-        # zero-new-row appends never entered the manifest (the lake
-        # refuses dataless snapshots), so there is nothing to retract
-        if res.new_documents > 0:
-            snap_keys = spark.read.parquet(snap_dir).select(
-                F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
+            # the seen set IS the documents table projection, keyed on
+            # identifier.UniqueId — the reference's object names and its
+            # StatObject idempotency check (jsonutils.go:355-357,384-386)
+            # — so no separate url_seen table to keep in sync
+            seen_src = lake.table("documents").read(spark)
+            seen = seen_src.select("source_name", "unique_id") if seen_src is not None else None
+            # seen-set sketch from the lake checkpoint (north rule): skips
+            # the build-from-table scan; only used while under capacity
+            sk_entry = hv.load_seen_sketch(lake)
+            sketch = (
+                sk_entry[0]
+                if seen is not None and sk_entry is not None and sk_entry[1] <= sk_entry[2]
+                else None
             )
-            # the authoritative key set is only needed on the rebuild
-            # path when the table PREDATES this run (the incremental
-            # counter may understate it); on a fresh lake the new keys
-            # ARE the table — skip the extra full-table count job
-            all_keys = None
-            if seen is not None:
-                all_keys = lake.table("documents").read(spark).select(
+            # the raw pre-fixup text never reaches a sink (documents store
+            # the fixed text as `jsonld`) — drop it before the dedup
+            # shuffle so the widest column doesn't ride through it.
+            # Cluster width trades files against tasks: per source it is
+            # both the max sink files AND the max dedup/write tasks, so
+            # size it to the cores a source's share of the run deserves —
+            # a single-source harvest gets full parallelism, a 10^3-source
+            # crawl stays at 4 files/source.
+            cfiles = max(4, -(-spark.sparkContext.defaultParallelism
+                              // max(1, len(sources))))
+            new_docs = hv.dedup_new_documents(
+                spark, docs_only.drop("jsonld", "page_bytes", "page_first"), seen,
+                sketch=sketch, cluster_files=cfiles,
+            )
+            docs_out = hv.documents_table(new_docs)
+            # dedup left the rows hash-clustered on (key-segment, salt) —
+            # the sink writes ≤cfiles files per source with NO shuffle of
+            # its own (files_per_partition=0). The CollectMetrics node
+            # must stay at the plan ROOT: put below a new shuffle stage,
+            # AQE's runtime empty-relation propagation deletes it when a
+            # re-run dedups everything away, and Observation.get fails
+            # (pinned by the idempotency test).
+
+            # write computes the dedup DAG once; the new-row count rides
+            # on the SAME job via an Observation (no second read of the
+            # snapshot — one fewer fixed-cost job per run, which is what
+            # small-cluster efficiency is made of)
+            obs = Observation()
+            docs_out = docs_out.observe(obs, F.count(F.lit(1)).alias("n"))
+            _mark("dedup_plan", _t)
+            snap = lake.table("documents").append(
+                docs_out, run_id=run_id, partition_by=["source_name"],
+                files_per_partition=0,
+            )
+            res.new_documents = int(obs.get["n"])
+            _mark("documents_append", _t)
+            snap_dir = f"{lake.table('documents').dir}/{snap['data_dir']}"
+            # zero-new-row appends never entered the manifest (the lake
+            # refuses dataless snapshots), so there is nothing to retract
+            if res.new_documents > 0:
+                snap_keys = spark.read.parquet(snap_dir).select(
                     F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
                 )
-            hv.checkpoint_seen_sketch(
-                spark, lake, snap_keys, sk_entry, res.new_documents, run_id,
-                all_keys=all_keys,
-                covers_snapshot_id=snap["snapshot_id"],
+                # the authoritative key set is only needed on the rebuild
+                # path when the table PREDATES this run (the incremental
+                # counter may understate it); on a fresh lake the new keys
+                # ARE the table — skip the extra full-table count job
+                all_keys = None
+                if seen is not None:
+                    all_keys = lake.table("documents").read(spark).select(
+                        F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
+                    )
+                hv.checkpoint_seen_sketch(
+                    spark, lake, snap_keys, sk_entry, res.new_documents, run_id,
+                    all_keys=all_keys,
+                    covers_snapshot_id=snap["snapshot_id"],
+                )
+            _mark("snap_count", _t)
+
+            # metrics: one aggregation over the cached fused output (the
+            # sentinel rows make zero-doc pages visible); tiny rows land
+            # via a driver-side pyarrow write
+            metrics = hv.metrics_from_processed(processed, run_id)
+            mrows = metrics.collect()
+            _mark("metrics_collect", _t)
+            res.fetched = sum(r["fetched"] or 0 for r in mrows)
+            res.extracted = sum(r["extracted"] or 0 for r in mrows)
+            if mrows:
+                lake.table("metrics").append_local(
+                    [r.asDict() for r in mrows], run_id=run_id
+                )
+            _mark("metrics", _t)
+
+            # prov: emitted for every processed doc each run (reference
+            # quirk, one row per processed doc → count comes free)
+            res.prov_records = res.extracted
+            if res.prov_records:
+                # narrow-first clustering: the exchange moves (source,
+                # id, url) keys, the 2 KB rendered graph is born already
+                # clustered, and the sink write adds no shuffle of its own
+                prov = hv.prov_table(docs_only, sources, bucket, run_date,
+                                     cluster_files=4)
+                lake.table("prov").append(prov, run_id=run_id,
+                                          partition_by=["source_name"],
+                                          files_per_partition=0)
+            _mark("prov", _t)
+
+            # the commit marker is the LAST durable write of the phase:
+            # everything before it re-runs cleanly after a crash (torn
+            # snapshots rolled back above), everything after it is
+            # idempotent cleanup
+            lake.table("phase2_commit").append_local(
+                [{
+                    "new_documents": res.new_documents,
+                    "fetched": res.fetched,
+                    "extracted": res.extracted,
+                    # the keep decision rides the marker so a later resume
+                    # honors the ORIGINAL run's choice even if the caller
+                    # forgets the flag (kept staged bodies are the corpus)
+                    "keep_fetched": bool(live_keep_fetched),
+                }],
+                run_id=run_id,
             )
-        _mark("snap_count", _t)
-
-        # metrics: one aggregation over the cached fused output (the
-        # sentinel rows make zero-doc pages visible); tiny rows land
-        # via a driver-side pyarrow write
-        metrics = hv.metrics_from_processed(processed, run_id)
-        mrows = metrics.collect()
-        _mark("metrics_collect", _t)
-        res.fetched = sum(r["fetched"] or 0 for r in mrows)
-        res.extracted = sum(r["extracted"] or 0 for r in mrows)
-        if mrows:
-            lake.table("metrics").append_local(
-                [r.asDict() for r in mrows], run_id=run_id
-            )
-        _mark("metrics", _t)
-
-        # prov: emitted for every processed doc each run (reference
-        # quirk, one row per processed doc → count comes free)
-        res.prov_records = res.extracted
-        if res.prov_records:
-            # narrow-first clustering: the exchange moves (source,
-            # id, url) keys, the 2 KB rendered graph is born already
-            # clustered, and the sink write adds no shuffle of its own
-            prov = hv.prov_table(docs_only, sources, bucket, run_date,
-                                 cluster_files=4)
-            lake.table("prov").append(prov, run_id=run_id,
-                                      partition_by=["source_name"],
-                                      files_per_partition=0)
-        _mark("prov", _t)
-
-        processed.unpersist()
-
-        # the commit marker is the LAST durable write of the phase:
-        # everything before it re-runs cleanly after a crash (torn
-        # snapshots rolled back above), everything after it is
-        # idempotent cleanup
-        lake.table("phase2_commit").append_local(
-            [{
-                "new_documents": res.new_documents,
-                "fetched": res.fetched,
-                "extracted": res.extracted,
-                # the keep decision rides the marker so a later resume
-                # honors the ORIGINAL run's choice even if the caller
-                # forgets the flag (kept staged bodies are the corpus)
-                "keep_fetched": bool(live_keep_fetched),
-            }],
-            run_id=run_id,
-        )
+        finally:
+            # a mid-phase-2 crash (the exact failure the torn-run
+            # rollback recovers from) must not leak the persisted
+            # frame in a long-lived session (ADVICE r4); the
+            # streaming twin in incremental.py already does this
+            processed.unpersist()
+    else:
+        # resume of an ALREADY-COMMITTED run: the marker durably
+        # recorded the real counts — report those instead of zeros
+        # (ADVICE r4: a caller that crashed between the marker and
+        # the staged-fetch prune, then resumed, otherwise sees a
+        # successful harvest reported as 0 fetched / 0 extracted)
+        for row in _phase2_marker_rows(lake, run_id):
+            if row.get("_unreadable"):
+                continue
+            res.new_documents = int(row.get("new_documents") or 0)
+            res.fetched = int(row.get("fetched") or 0)
+            res.extracted = int(row.get("extracted") or 0)
+            res.prov_records = res.extracted
 
     # phase 2 committed (this run or a previous resumed one): the
     # staged bodies have served their crash-recovery purpose — drop
@@ -380,27 +398,41 @@ def run_harvest(
     return res
 
 
-def _marker_keeps_fetched(lake: Lake, run_id: str) -> bool:
-    """True if any phase-2 commit marker for this run recorded
-    keep_fetched — the durable record of the original invocation's
-    choice (rows are driver-written single-file parquet)."""
+def _phase2_marker_rows(lake: Lake, run_id: str) -> list[dict]:
+    """All phase-2 commit marker rows for this run (driver-written
+    single-file parquet). An unreadable/corrupt marker file yields a
+    sentinel ``{"_unreadable": True}`` row instead of being silently
+    dropped — the caller decides how to fail, and for destructive
+    decisions (pruning staged bodies) it must fail CLOSED."""
     import glob as _glob
     import os as _os
 
     import pyarrow.parquet as _pq
 
+    rows: list[dict] = []
     t = lake.table("phase2_commit")
     for s in t.snapshots():
         if s["run_id"] != run_id:
             continue
         for f in _glob.glob(_os.path.join(t.dir, s["data_dir"], "*.parquet")):
             try:
-                for row in _pq.read_table(f).to_pylist():
-                    if row.get("keep_fetched"):
-                        return True
-            except Exception:  # noqa: BLE001 - corrupt marker = no keep
-                continue
-    return False
+                rows.extend(_pq.read_table(f).to_pylist())
+            except Exception:  # noqa: BLE001 - surfaced as a sentinel row
+                rows.append({"_unreadable": True})
+    return rows
+
+
+def _marker_keeps_fetched(lake: Lake, run_id: str) -> bool:
+    """True if any phase-2 commit marker for this run recorded
+    keep_fetched — the durable record of the original invocation's
+    choice. Fails CLOSED (ADVICE r4): a marker file for this run_id
+    that exists but can't be read means the original run's choice is
+    unknown, so the prune must not retract bodies the run may have
+    explicitly asked to keep as its corpus."""
+    return any(
+        row.get("keep_fetched") or row.get("_unreadable")
+        for row in _phase2_marker_rows(lake, run_id)
+    )
 
 
 def _staged_fetches(spark: SparkSession, ft, run_id: str) -> DataFrame:

@@ -258,12 +258,17 @@ def test_renamed_source_same_content_redownloads_under_new_name(spark, tmp_lake,
 def test_resume_skips_completed_phases(spark, tmp_lake, world):
     lake = Lake(tmp_lake)
     r1 = run_harvest(spark, lake, world["sources"], world["pages"], world["sitemaps"], world["robots"], run_id="r1")
-    # re-run same run_id with resume: phases short-circuit, no new docs
+    # re-run same run_id with resume: phases short-circuit, nothing is
+    # re-harvested, and the result reports the MARKER's durable counts
+    # (ADVICE r4: zeros here misled callers that crashed between the
+    # commit marker and the staged-fetch prune)
     r2 = run_harvest(
         spark, lake, world["sources"], world["pages"], world["sitemaps"],
         world["robots"], run_id="r1", resume=True,
     )
-    assert r2.new_documents == 0
+    assert r2.new_documents == r1.new_documents
+    assert r2.fetched == r1.fetched
+    assert r2.extracted == r1.extracted
     assert r2.frontier_size == r1.frontier_size
     assert lake.table("documents").read(spark).count() == r1.new_documents
 
@@ -741,11 +746,12 @@ def test_phase2_crash_before_prov_resume_recovers(spark, tmp_lake, world):
     entry = hv.load_seen_sketch(lake)
     assert entry is not None
 
-    # and a third resume is a pure no-op (marker present)
+    # and a third resume is a pure no-op (marker present) that reports
+    # the marker's durable counts, not zeros (ADVICE r4)
     r3 = run_harvest(spark, lake, world["sources"], world["pages"],
                      world["sitemaps"], world["robots"], run_id="pw1",
                      resume=True)
-    assert r3.new_documents == 0
+    assert r3.new_documents == r2.new_documents
     assert lake.table("documents").read(spark).count() == clean_docs
     assert lake.table("prov").read(spark).count() == clean_prov
 
@@ -769,10 +775,111 @@ def test_resume_of_older_completed_run_destroys_nothing(spark, tmp_lake, world):
     r1b = run_harvest(spark, lake, world["sources"], world["pages"],
                       world["sitemaps"], world["robots"], run_id="r1",
                       resume=True)
-    assert r1b.new_documents == 0
+    # skip path reports r1's marker counts, not zeros (ADVICE r4)
+    assert r1b.new_documents == r1.new_documents
     assert lake.table("documents").read(spark).count() == docs_total
     assert lake.table("prov").read(spark).count() == prov_total
     # r1's own snapshots are still in the manifests
     assert any(s["run_id"] == "r1"
                for s in lake.table("documents").snapshots())
     assert any(s["run_id"] == "r1" for s in lake.table("prov").snapshots())
+
+
+def test_vacuum_removes_only_orphaned_snap_dirs(spark, tmp_lake, world):
+    """Torn-run rollback + vacuum (VERDICT r4 next #5): the manifest-
+    only drop_snapshot leaves data dirs on disk; Lake.vacuum() must
+    delete exactly the unreferenced ones and leave every live snapshot
+    readable with identical contents."""
+    import os
+
+    from gleaner_spark.operators import harvest as hv
+
+    lake = Lake(tmp_lake)
+    real_prov_table = hv.prov_table
+
+    def torn(*a, **k):
+        raise RuntimeError("injected crash: killed before prov")
+
+    hv.prov_table = torn
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_harvest(spark, lake, world["sources"], world["pages"],
+                        world["sitemaps"], world["robots"], run_id="v1")
+    finally:
+        hv.prov_table = real_prov_table
+
+    # resume rolls the torn documents/sketch snapshots back (manifest
+    # only) and re-runs: orphan snap-* dirs now exist on disk
+    r2 = run_harvest(spark, lake, world["sources"], world["pages"],
+                     world["sitemaps"], world["robots"], run_id="v1",
+                     resume=True)
+    docs_t = lake.table("documents")
+    live = {s["data_dir"] for s in docs_t.snapshots()}
+    on_disk = {d for d in os.listdir(docs_t.dir) if d.startswith("snap-")}
+    assert on_disk - live, "expected torn-run orphan dirs before vacuum"
+    n_docs = docs_t.read(spark).count()
+
+    # min_age_s=0: everything orphaned is old enough in the test
+    removed = lake.vacuum(min_age_s=0)
+    assert set(removed.get("documents", [])) == (on_disk - live)
+    after = {d for d in os.listdir(docs_t.dir) if d.startswith("snap-")}
+    assert after == live
+    # live snapshots untouched: same rows readable, resume still a no-op
+    assert docs_t.read(spark).count() == n_docs == r2.new_documents
+    # idempotent second vacuum
+    assert lake.vacuum(min_age_s=0) == {}
+
+    # min_age_s guard: a fresh unpublished dir (in-flight append) is
+    # NOT swept at the default horizon
+    fresh = os.path.join(docs_t.dir, "snap-inflight00")
+    os.makedirs(fresh)
+    assert lake.vacuum(min_age_s=3600) == {}
+    assert os.path.isdir(fresh)
+    assert lake.vacuum(min_age_s=0) == {"documents": ["snap-inflight00"]}
+
+
+def test_marker_prune_fails_closed_on_unreadable_marker(tmp_lake):
+    """ADVICE r4: a corrupt/unreadable phase-2 commit marker for this
+    run must make the staged-fetch prune KEEP the bodies (the original
+    run may have recorded keep_fetched=True there), not silently treat
+    the choice as 'prune'."""
+    import glob
+    import os
+
+    from gleaner_spark.plans.pipeline import _marker_keeps_fetched
+
+    lake = Lake(tmp_lake)
+    lake.table("phase2_commit").append_local(
+        [{"new_documents": 1, "fetched": 1, "extracted": 1,
+          "keep_fetched": False}],
+        run_id="m1",
+    )
+    assert _marker_keeps_fetched(lake, "m1") is False
+    # corrupt the marker parquet in place
+    t = lake.table("phase2_commit")
+    snap = t.latest_snapshot()
+    [f] = glob.glob(os.path.join(t.dir, snap["data_dir"], "*.parquet"))
+    with open(f, "wb") as fh:
+        fh.write(b"not a parquet file")
+    assert _marker_keeps_fetched(lake, "m1") is True
+    # a different run_id is unaffected by m1's corruption
+    assert _marker_keeps_fetched(lake, "other") is False
+
+
+def test_manifest_rewrites_are_atomic_and_durable(tmp_lake):
+    """drop_snapshot/rollback_to go through the same fsync'd
+    temp-file + rename path as _publish (ADVICE r4): after a drop the
+    manifest parses, and no stale .tmp file lingers."""
+    import json
+    import os
+
+    lake = Lake(tmp_lake)
+    t = lake.table("documents")
+    e1 = t.append_local([{"a": 1}], run_id="r1")
+    e2 = t.append_local([{"a": 2}], run_id="r2")
+    t.drop_snapshot(e1["snapshot_id"])
+    assert [s["snapshot_id"] for s in t.snapshots()] == [e2["snapshot_id"]]
+    t.rollback_to(e2["snapshot_id"])
+    with open(t._manifest_path) as f:
+        json.load(f)  # parses clean
+    assert not os.path.exists(t._manifest_path + ".tmp")
