@@ -358,6 +358,40 @@ def effective_politeness(global_threads: int, global_delay_ms: int,
 SALT_BLOCK = 50_000  # one sitemap file's worth (docs/archive/sitemaps.md:52)
 
 
+def block_salted_rank(df: DataFrame, part_cols: list[str],
+                      blk_cols: list[str], order_cols: list[str],
+                      out_col: str = "rank") -> DataFrame:
+    """0-based global rank per ``part_cols``, ordered by
+    (``blk_cols``, ``order_cols``), WITHOUT the single-task
+    whole-partition sort of a plain window: row_number runs inside
+    (part, blk) groups — bounded by block size regardless of
+    partition-value skew — and a cumulative per-block offset from a
+    tiny count table (broadcast) shifts the local ranks into the
+    global order. Row-for-row identical to
+    ``row_number().over(Window.partitionBy(part).orderBy(blk, order))
+    - 1``, which is what the equivalence tests pin.
+
+    Correctness requirement on the caller: any tie in ``order_cols``
+    must land in one block (blk derived from a prefix of the order
+    keys satisfies this)."""
+    w_local = Window.partitionBy(*part_cols, *blk_cols).orderBy(*order_cols)
+    local = df.withColumn("_lr", F.row_number().over(w_local) - F.lit(1))
+    counts = df.groupBy(*part_cols, *blk_cols).agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*blk_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).drop("_cnt")
+    return (
+        local.join(F.broadcast(offsets), part_cols + blk_cols)
+        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_lr", "_off")
+    )
+
+
 def schedule_fetches(frontier: DataFrame, scalable: bool = False,
                      block: int = SALT_BLOCK) -> DataFrame:
     """Politeness scheduler (S13): deterministic per-host fetch order
@@ -394,24 +428,13 @@ def schedule_fetches(frontier: DataFrame, scalable: bool = False,
     else:
         blk = F.floor((F.col("position") - 1) / F.lit(block)).alias("blk")
         salted = frontier.withColumn("blk", blk)
-        w_local = Window.partitionBy("host", "source_name", "blk").orderBy("position")
-        local = salted.withColumn("lr", F.row_number().over(w_local) - F.lit(1))
-        counts = salted.groupBy("host", "source_name", "blk").agg(
-            F.count("*").alias("cnt")
-        )
-        w_off = (
-            Window.partitionBy("host")
-            .orderBy("source_name", "blk")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = counts.withColumn(
-            "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
-        ).drop("cnt")
-        df = (
-            local.join(F.broadcast(offsets), ["host", "source_name", "blk"])
-            .withColumn("fetch_seq", (F.col("off") + F.col("lr")).cast("long"))
-            .drop("blk", "lr", "off")
-        )
+        # blk is derived from position, so order ties are impossible
+        # across blocks; rank per host over (source_name, blk,
+        # position) == the plain window's (source_name, position)
+        df = block_salted_rank(
+            salted, ["host"], ["source_name", "blk"], ["position"],
+            out_col="fetch_seq",
+        ).drop("blk")
     df = df.withColumn("lane", F.pmod(F.col("fetch_seq"), lanes).cast("int"))
     df = df.withColumn(
         "scheduled_offset_ms",

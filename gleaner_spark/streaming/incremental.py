@@ -36,11 +36,37 @@ picked up here too (metadata-only probe per batch).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.lake import Lake
 from ..sources.config import Source
+
+
+def _ordered_positions(pages):
+    """Per-source crawl order for a micro-batch: 1-based rank over
+    (warc_ts, url) — the capture timestamp IS the crawl order in a
+    WARC-derived stream, url breaks ties deterministically.
+
+    Uses the frontier's block-salted rank instead of a plain
+    ``Window.partitionBy(source_name)`` (VERDICT r4 #4): a large
+    ``maxFilesPerTrigger`` drop concentrated on one source would
+    serialize that plain window into a single task. Blocks are hour
+    buckets of warc_ts — a pure function of the leading order key, so
+    ties can never straddle a block boundary and the salted rank is
+    row-for-row identical to the unsalted window (pinned by test)."""
+    from ..operators.frontier import block_salted_rank
+
+    salted = pages.withColumn(
+        "_blk", F.floor(F.unix_timestamp(F.col("warc_ts")) / F.lit(3600))
+    )
+    ranked = block_salted_rank(
+        salted, ["source_name"], ["_blk"], ["warc_ts", "url"],
+        out_col="position",
+    )
+    return ranked.withColumn(
+        "position", (F.col("position") + F.lit(1)).cast("long")
+    ).drop("_blk")
 
 
 def incremental_harvest(
@@ -94,10 +120,9 @@ def incremental_harvest(
         if not rude and robots_bodies:
             allowed = _robots_filter_udf(robots_bodies)
             pages = pages.filter(allowed(F.col("url"), F.col("host")))
-        w = Window.partitionBy("source_name").orderBy("warc_ts", "url")
-        fetched = pages.withColumn(
-            "position", F.row_number().over(w).cast("long")
-        ).select("source_name", "url", "position", "html", "text", "content_type")
+        fetched = _ordered_positions(pages).select(
+            "source_name", "url", "position", "html", "text", "content_type"
+        )
 
         processed = hv.extract_and_process(
             fetched, sources, hw, global_strict, context_maps=context_maps

@@ -246,3 +246,39 @@ class TestLakeSnapshotHygiene:
         got = {(r["source_name"], r["unique_id"]) for r in out.collect()}
         # crawl-order winner of the collided key is position 1
         assert got == {("a", "b/c"), ("a", "other")}
+
+    def test_fused_dedup_to_sink_single_exchange(self, spark):
+        """VERDICT r4 #2: the claim 'dedup exchange fused with sink
+        clustering' pinned as a plan shape — from dedup_new_documents'
+        input through the documents-table projection there is exactly
+        ONE Exchange (hash on the key-derived segment+salt), and the
+        groupBy reuses it (no second exchange for the aggregation).
+        Any projection inserted between dedup and sink that breaks
+        the distribution match re-inserts a full shuffle of the
+        widest column and fails this count."""
+        from pyspark.sql import functions as F
+
+        from gleaner_spark.operators import harvest as hv
+
+        rows = [
+            (f"src{i % 3}", f"u{i}", i, 0, f"id{i}", "{}", "s", "s2",
+             "jsonsha", None, None)
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "source_name string, url string, position long, doc_idx int,"
+            " unique_id string, fixed_jsonld string, sha string,"
+            " sha256 string, identifier_type string, matched_path string,"
+            " matched_string string",
+        )
+        out = hv.documents_table(
+            hv.dedup_new_documents(spark, df, None, cluster_files=4)
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "hashpartitioning" in plan
+        # partial + final aggregate both present, satisfied by the one
+        # exchange (map-side combine retained; min_by over a struct
+        # compiles to SortAggregate, so match either aggregate kind)
+        assert plan.count("Aggregate(") == 2, plan

@@ -883,3 +883,35 @@ def test_manifest_rewrites_are_atomic_and_durable(tmp_lake):
     with open(t._manifest_path) as f:
         json.load(f)  # parses clean
     assert not os.path.exists(t._manifest_path + ".tmp")
+
+
+def test_documents_sink_file_bound_per_source(spark, tmp_lake, world):
+    """VERDICT r4 #2 (second half): the documents snapshot must hold
+    at most ``cfiles`` parquet files per source partition value — the
+    fused dedup clustering (bounded salt) is what the partitioned
+    write inherits with files_per_partition=0, so a regression that
+    breaks the distribution match shows up here as one file per
+    (task, source) pair instead."""
+    import glob
+    import os
+
+    lake = Lake(tmp_lake)
+    res = run_harvest(spark, lake, world["sources"], world["pages"],
+                      world["sitemaps"], world["robots"], run_id="fb1")
+    assert res.new_documents > 0
+    cfiles = max(4, -(-spark.sparkContext.defaultParallelism
+                      // len(world["sources"])))
+    t = lake.table("documents")
+    snap = t.latest_snapshot()
+    snap_dir = os.path.join(t.dir, snap["data_dir"])
+    src_dirs = glob.glob(os.path.join(snap_dir, "source_name=*"))
+    assert src_dirs, "expected a source_name-partitioned layout"
+    for d in src_dirs:
+        n = len(glob.glob(os.path.join(d, "*.parquet")))
+        assert 1 <= n <= cfiles, f"{d}: {n} files > cfiles={cfiles}"
+    # prov sink honors its own bound too (cluster_files=4 in pipeline)
+    pt = lake.table("prov")
+    psnap_dir = os.path.join(pt.dir, pt.latest_snapshot()["data_dir"])
+    for d in glob.glob(os.path.join(psnap_dir, "source_name=*")):
+        n = len(glob.glob(os.path.join(d, "*.parquet")))
+        assert 1 <= n <= 4, f"{d}: {n} prov files > 4"
