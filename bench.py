@@ -12,6 +12,11 @@ Env:
   BENCH_HARVEST_PAGES (override corpus size)
   BENCH_CORPUS_DIR    (reuse a pre-generated corpus parquet)
   BENCH_HARVEST_ONLY  (=1: skip the analytics suite; for scaling runs)
+  BENCH_IDLE_GATE     (=0: disable the idle-host gate)
+  BENCH_IDLE_THRESH   (1-min loadavg gate threshold, default 3.0)
+  BENCH_IDLE_WAIT_S   (startup gate cap, default 600)
+  BENCH_SAMPLE_WAIT_S (inter-sample gate cap, default 120)
+  BENCH_CANARY_CORE   (core for the DRAM canary, default last)
 """
 
 from __future__ import annotations
@@ -19,9 +24,67 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
+import subprocess
 import sys
 import tempfile
 import time
+
+
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _wait_for_idle(thresh: float, max_wait_s: float) -> float:
+    """Idle-host gate (VERDICT r4 #1, ported from tools/bench_scaling):
+    neighbour load on this shared VM only ever slows a sample, so the
+    timed window starts when the 1-min loadavg drops under ``thresh``
+    (capped so the benchmark always completes). Returns seconds waited."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if _loadavg() <= thresh:
+            break
+        time.sleep(10)
+    return round(time.time() - t0, 1)
+
+
+_CANARY_SRC = """
+import time
+import numpy as np
+arr = np.arange(4 * 1024 * 1024, dtype=np.uint64)   # 32 MB buffer
+while True:
+    t0 = time.perf_counter()
+    for _ in range(4):
+        arr[::8].sum()                              # touch every cache line
+    print(f"{time.perf_counter() - t0:.6f}", flush=True)
+    time.sleep(3)
+"""
+
+
+class _Canary:
+    """Mid-run DRAM-contention probe (same kernel as the scaling
+    harness): a ~0.5%-duty-cycle strided 128 MB sweep timed every 3 s
+    on one core. bench.py's job is NOT core-pinned, so the sweep time
+    mixes the job's own pressure with the neighbours' — it is an
+    ANNOTATION for cross-pass comparison (which pass was contended),
+    not an estimator filter; min-of-N remains the estimator."""
+
+    def __init__(self, core: int):
+        self.proc = subprocess.Popen(
+            ["taskset", "-c", str(core), sys.executable, "-c", _CANARY_SRC],
+            stdout=subprocess.PIPE, text=True,
+        )
+
+    def stop(self) -> float | None:
+        self.proc.terminate()
+        try:
+            out, _ = self.proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+            out, _ = self.proc.communicate()
+        dts = [float(l) for l in out.strip().splitlines()[1:] if l.strip()]
+        return round(statistics.median(dts), 6) if dts else None
 
 
 def main() -> None:
@@ -37,6 +100,18 @@ def main() -> None:
     # dominated by per-page work, not job-scheduling fixed costs
     n_pages = int(os.environ.get("BENCH_HARVEST_PAGES", str(int(sf * 1_000_000))))
     harvest_only = os.environ.get("BENCH_HARVEST_ONLY") == "1"
+
+    # idle-gate the whole timed window once up front (VERDICT r4 #1);
+    # per-pass gates below re-arm between interleaved passes. The
+    # threshold leaves headroom for our own decaying 1-min loadavg.
+    gate_on = os.environ.get("BENCH_IDLE_GATE", "1") == "1"
+    idle_thresh = float(os.environ.get("BENCH_IDLE_THRESH", "3.0"))
+    idle_wait = float(os.environ.get("BENCH_IDLE_WAIT_S", "600"))
+    gate_waits: list[float] = []
+    if gate_on:
+        gate_waits.append(_wait_for_idle(idle_thresh, idle_wait))
+    canary_core = int(os.environ.get("BENCH_CANARY_CORE",
+                                     str((os.cpu_count() or 32) - 1)))
 
     from gleaner_spark.session import build_session
 
@@ -97,11 +172,15 @@ def main() -> None:
     # back-to-back identical runs, see BENCH/ATTEMPTS.md round 4; the
     # scaling harness pins 1, interleaving min-of-N across rounds)
     n_hruns = max(1, int(os.environ.get("BENCH_HARVEST_RUNS", "5")))
+    sample_wait = float(os.environ.get("BENCH_SAMPLE_WAIT_S", "120"))
     best = None
     hloads = []
-    for _ in range(n_hruns):
-        with open("/proc/loadavg") as f:
-            hloads.append(float(f.read().split()[0]))
+    hcanary = []
+    for i in range(n_hruns):
+        if gate_on and i > 0:  # run 0 is covered by the startup gate
+            gate_waits.append(_wait_for_idle(idle_thresh, sample_wait))
+        hloads.append(_loadavg())
+        canary = _Canary(canary_core)
         lake_dir = tempfile.mkdtemp(prefix="gleaner-bench-lake-")
         t0 = time.time()
         r = run_harvest(
@@ -109,6 +188,7 @@ def main() -> None:
             run_id="bench", run_date="2024-01-01",
         )
         t = time.time() - t0
+        hcanary.append(canary.stop())
         if best is None or r.timings["harvest"] < best[0].timings["harvest"]:
             if best is not None:
                 shutil.rmtree(best[2], ignore_errors=True)
@@ -118,6 +198,7 @@ def main() -> None:
     res, total_s, lake_dir = best
     extra["harvest_runs"] = n_hruns
     extra["harvest_loadavg_pre"] = hloads
+    extra["harvest_canary_dt"] = hcanary
     # the BASELINE.json metric is fetch+extract throughput over an
     # existing frontier (at CC scale the 10^10-URL frontier is a
     # persisted table, not rebuilt per run) → rate uses the harvest
@@ -171,8 +252,6 @@ def main() -> None:
     # only ever slows a run — timeit's min-of-N reasoning) with the
     # median alongside, plus the pre-pass loadavg for auditability.
     if not harvest_only:
-        import statistics
-
         import __spark_entry__ as entrymod
 
         qs = entrymod.queries()
@@ -186,21 +265,31 @@ def main() -> None:
         ]
         n_runs = int(os.environ.get("BENCH_SUITE_RUNS", "3"))
         samples: dict[str, list[float]] = {name: [] for name in suite}
+        qloads: dict[str, list[float]] = {name: [] for name in suite}
         loads = []
-        for _ in range(n_runs):
-            with open("/proc/loadavg") as f:
-                loads.append(float(f.read().split()[0]))
+        pass_canary = []
+        for p in range(n_runs):
+            if gate_on and p > 0:  # pass 0 rides the harvest's window
+                gate_waits.append(_wait_for_idle(idle_thresh, sample_wait))
+            loads.append(_loadavg())
+            canary = _Canary(canary_core)
             for name in suite:
+                qloads[name].append(round(_loadavg(), 2))
                 t0 = time.time()
                 qs[name](spark, sf_dir).count()
                 samples[name].append(time.time() - t0)
+            pass_canary.append(canary.stop())
         for name in suite:
             timings[name] = round(min(samples[name]), 3)
         extra["queries_median"] = {
             name: round(statistics.median(samples[name]), 3) for name in suite
         }
+        # per-query pre-run loadavg per pass (VERDICT r4 #7): lets a
+        # cross-round comparison exclude contended draws mechanically
+        extra["queries_loadavg_pre"] = qloads
         extra["suite_runs"] = n_runs
         extra["suite_loadavg_pre"] = loads
+        extra["suite_canary_dt"] = pass_canary
 
     out = {
         "metric": "harvest+analytics suite wall time (docs_per_sec = URLs fetched + JSON-LD docs extracted per second in the harvest phase; suite timings = best of suite_runs interleaved passes, medians in queries_median)",
@@ -210,6 +299,10 @@ def main() -> None:
         "sf": sf,
         **extra,
         "cpus": cpus,
+        "idle_gate": {
+            "enabled": gate_on, "thresh": idle_thresh,
+            "waited_s": gate_waits,
+        },
     }
     print(json.dumps(out))
 
