@@ -57,6 +57,7 @@ LOGICAL url, so identity, dedup and prov are rewrite-invariant.
 from __future__ import annotations
 
 import http.client
+import json
 import time
 import urllib.parse
 from collections.abc import Callable
@@ -66,7 +67,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..core import extract as ex
 from ..core.extract import EARTHCUBE_AGENT
+
+try:  # real CDP transport when the cluster ships it; the sandbox does not
+    import websocket as _websocket  # websocket-client
+
+    HAS_WEBSOCKET = True
+except ImportError:  # pragma: no cover - sandbox path
+    _websocket = None
+    HAS_WEBSOCKET = False
 
 LIVE_FETCH_SCHEMA = T.StructType(
     [
@@ -87,9 +97,11 @@ LIVE_FETCH_SCHEMA = T.StructType(
     ]
 )
 
-# the S15 contract columns extract_and_process consumes (text is null in
-# live mode: the pages-table text column is a corpus artifact; the
-# reference's no-docs fallback goes headless instead, S30)
+# the S15 contract columns extract_and_process consumes. In live mode
+# `text` is null UNLESS the headless fallback fired (0 static docs +
+# HeadlessWait >= 0 + a renderer configured), in which case it carries
+# the post-JS rendered DOM — the downstream S30 text fallback then
+# extracts from it exactly as it does for the pages-table text column.
 CONTRACT_COLS = ["source_name", "url", "position", "html", "text", "content_type"]
 
 
@@ -158,18 +170,155 @@ def _fetch_one(conns: dict, target_url: str, headers: dict[str, str],
     return None, None, None, f"stopped after {_MAX_REDIRECTS} redirects"
 
 
+# ---------------------------------------------------------------------------
+# Headless render swap-point (S30 in live mode, VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+#
+# The reference falls back to a CDP Chrome render when static extraction
+# finds 0 JSON-LD docs and the source's HeadlessWait >= 0
+# (acquire.go:194-203 → headless.go:111-357): navigate, wait for the
+# load + DOMContentLoaded events, then poll in-page JS for
+# script[type^="application/ld+json"] innerTexts with retries, failing
+# silently when nothing appears. Here the rendered result rides the
+# ``text`` column of the live-fetch output, so the UNCHANGED downstream
+# S30 text fallback (extract_and_process → extract_from_text_fallback)
+# extracts the injected docs byte-identically — one fallback code path
+# for both pages mode and live mode.
+#
+# ``renderer`` contract: ``(target_url, wait_s) -> str | None`` — the
+# post-JS DOM serialized as HTML (or the rendered scripts wrapped via
+# ``rendered_docs_to_text``), or None when the page never produced
+# JSON-LD / the render failed (the reference logs and continues,
+# acquire.go:199-201 — the URL still flows onward with 0 docs).
+# ``cdp_renderer`` is the real implementation, import-guarded exactly
+# like the media codecs (operators/multimodal.py): it needs the
+# ``websocket-client`` package plus a headless Chrome endpoint, neither
+# of which exists in this sandbox, so tests inject stub renderers.
+
+_RENDER_RETRIES = 3  # headless.go:152 retries := 3
+
+
+def rendered_docs_to_text(docs: list[str]) -> str:
+    """Wrap rendered JSON-LD strings as a minimal HTML document whose
+    re-extraction is exact: a browser's script.innerText can never
+    contain ``</script>`` (the HTML parser would have closed the
+    element there), so embed-then-extract is byte-identical."""
+    scripts = "".join(
+        f'<script type="application/ld+json">{d}</script>' for d in docs
+    )
+    return f"<html><head>{scripts}</head><body></body></html>"
+
+
+def cdp_renderer(
+    devtools_url: str,
+    timeout_s: float = 60.0,
+    retries: int = _RENDER_RETRIES,
+) -> Callable[[str, int], str | None]:
+    """Real headless path: a renderer driving Chrome over the DevTools
+    protocol at ``devtools_url`` (the reference's ``summoner.headless``
+    config value, e.g. ``http://localhost:9222`` —
+    headless.go:184-188). Per URL: create/attach a page target,
+    ``Page.navigate``, await the load + DOMContentLoaded events, then
+    ``Runtime.evaluate`` (awaitPromise) a polling expression that
+    resolves the innerTexts of ``script[type^="application/ld+json"]``
+    elements, retrying ``retries`` times ``wait_s`` apart
+    (headless.go:252-311). Rejection fails silently → None, mirroring
+    the reference's "we simply do not index a document" comment.
+
+    Import-guarded like the media codecs: raises at CONSTRUCTION when
+    the websocket transport is unavailable, so a misconfigured cluster
+    fails fast instead of per-URL inside executors."""
+    if not HAS_WEBSOCKET:
+        raise RuntimeError(
+            "cdp_renderer requires the 'websocket-client' package and a "
+            "headless Chrome at the devtools endpoint; install both or "
+            "pass a custom renderer callable"
+        )
+
+    poll_js = """
+new Promise((resolve, reject) => {
+  const attempt = (left) => {
+    const out = [];
+    document.querySelectorAll('script[type^="application/ld+json"]')
+      .forEach((el) => { if (el && el.innerText) out.push(el.innerText); });
+    if (out.length) resolve(out);
+    else if (left <= 0) reject('No JSON-LD present');
+    else setTimeout(() => attempt(left - 1), %(wait_ms)d);
+  };
+  attempt(%(retries)d);
+})
+"""
+
+    def _rpc(ws, id_counter: list[int], method: str, **params):
+        id_counter[0] += 1
+        ws.send(json.dumps({"id": id_counter[0], "method": method,
+                            "params": params}))
+        events = []
+        while True:  # responses interleave with events on one socket
+            msg = json.loads(ws.recv())
+            if msg.get("id") == id_counter[0]:
+                return msg, events
+            events.append(msg)
+
+    def render(target_url: str, wait_s: int) -> str | None:
+        base = devtools_url.rstrip("/")
+        # PUT /json/new (Chrome >= 111 rejects GET); target carries its
+        # own websocket URL (devtool.Create analog, headless.go:190-196)
+        parsed = urllib.parse.urlsplit(base)
+        conn = http.client.HTTPConnection(parsed.netloc, timeout=timeout_s)
+        try:
+            conn.request("PUT", "/json/new")
+            target = json.loads(conn.getresponse().read())
+        finally:
+            conn.close()
+        ws = _websocket.create_connection(
+            target["webSocketDebuggerUrl"], timeout=timeout_s
+        )
+        ids = [0]
+        try:
+            _rpc(ws, ids, "Page.enable")
+            _, events = _rpc(ws, ids, "Page.navigate", url=target_url)
+            waiting = {"Page.loadEventFired", "Page.domContentEventFired"}
+            waiting -= {e.get("method") for e in events}
+            deadline = time.time() + timeout_s
+            while waiting and time.time() < deadline:
+                msg = json.loads(ws.recv())
+                waiting.discard(msg.get("method"))
+            expr = poll_js % {
+                "wait_ms": max(wait_s, 1) * 1000, "retries": retries,
+            }
+            resp, _ = _rpc(
+                ws, ids, "Runtime.evaluate", expression=expr,
+                awaitPromise=True, returnByValue=True,
+            )
+            result = resp.get("result", {})
+            if "exceptionDetails" in result:  # rejected: fail silently
+                return None
+            docs = result.get("result", {}).get("value") or []
+            return rendered_docs_to_text([d for d in docs if d]) if docs else None
+        except Exception:  # noqa: BLE001 - render errors never kill the batch
+            return None
+        finally:
+            ws.close()
+
+    return render
+
+
 def live_fetch_pages(
     frontier: DataFrame,
     accept_by_source: dict[str, str] | None = None,
     user_agent: str = EARTHCUBE_AGENT,
     timeout_s: float = 30.0,
     url_rewrite: Callable[[str], str] | None = None,
+    headless_wait_by_source: dict[str, int] | None = None,
+    renderer: Callable[[str, int], str | None] | None = None,
 ) -> DataFrame:
     """Fetch a scheduled frontier over HTTP, one (host, lane) group per
     task. ``frontier`` must carry the S13 schedule columns (lane,
     fetch_seq, delay_ms) — pass it through ``schedule_fetches`` first;
     a lane-less frontier degrades to one lane per host."""
     accepts = accept_by_source or {}
+    hw = headless_wait_by_source or {}
     emit_rows = 64  # bodies held in memory per yielded frame
 
     def run(batches):
@@ -206,6 +355,29 @@ def live_fetch_pages(
                     status, ctype, body, err = _fetch_one(
                         conns, target, headers, timeout_s
                     )
+                    # headless fallback (S30 live, acquire.go:194-203):
+                    # 0 static docs + HeadlessWait >= 0 ⇒ re-render; the
+                    # rendered DOM rides `text` so downstream extraction
+                    # picks it up via the unchanged text fallback. Render
+                    # failures log-and-continue (the URL proceeds with 0
+                    # docs, exactly the reference's silent-fail path).
+                    text = None
+                    render_err = None
+                    if (
+                        renderer is not None
+                        and err is None
+                        and hw.get(r.source_name, 0) >= 0
+                        and not ex.find_jsonld_in_page(r.url, ctype, body)
+                    ):
+                        try:
+                            text = renderer(target, hw.get(r.source_name, 0))
+                        except Exception as re_err:  # noqa: BLE001
+                            # annotate, but the fetch stays ok=True: the
+                            # reference's PageRenderAndUpload error is
+                            # logged and the URL proceeds (acquire.go:199)
+                            render_err = (
+                                f"headless_render: {type(re_err).__name__}: {re_err}"
+                            )
                     t1 = time.time()
                     out["source_name"].append(r.source_name)
                     out["host"].append(r.host)
@@ -214,13 +386,13 @@ def live_fetch_pages(
                     out["lane"].append(int(getattr(r, "lane", 0) or 0))
                     out["fetch_seq"].append(int(getattr(r, "fetch_seq", 0) or 0))
                     out["html"].append(body)
-                    out["text"].append(None)
+                    out["text"].append(text)
                     out["content_type"].append(ctype)
                     out["status"].append(status)
                     out["fetched_at_ms"].append(int(t0 * 1000))
                     out["elapsed_ms"].append(int((t1 - t0) * 1000))
                     out["ok"].append(err is None)
-                    out["error"].append(err)
+                    out["error"].append(err if err is not None else render_err)
                     delay = int(getattr(r, "delay_ms", 0) or 0)
                     if delay > 0:
                         # sleep after each completion, success or not

@@ -60,6 +60,7 @@ def run_harvest(
     live_url_rewrite=None,
     live_timeout_s: float = 30.0,
     live_keep_fetched: bool = False,
+    live_renderer=None,
 ) -> HarvestResult:
     """``fetch_mode``: "pages" resolves S15 via the pages-table join
     (input_hint corpus path; ``pages`` required); "live" fetches the
@@ -195,6 +196,13 @@ def run_harvest(
                     },
                     url_rewrite=live_url_rewrite,
                     timeout_s=live_timeout_s,
+                    # S30 in live mode: 0-doc pages re-render through the
+                    # CDP swap-point (operators/livefetch.cdp_renderer or
+                    # a custom callable); None disables the fallback
+                    headless_wait_by_source={
+                        s.name: s.headless_wait for s in sources
+                    },
+                    renderer=live_renderer,
                 )
                 # ONE pass over the wire, durably staged before any
                 # extraction lineage can demand a recompute (see
