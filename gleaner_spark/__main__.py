@@ -14,6 +14,11 @@ BASELINE.json input_hint). Ship it to a cluster as:
 ``{"sitemaps": {url: xml, ...}, "robots": {url: body, ...}}`` —
 the frontier builder consumes bodies, so a live deployment replaces
 this file with an HTTP prefetch of the (tiny) seed list.
+
+Post-harvest corpus dedup (beyond-reference LLM-pipeline surface):
+
+    python -m gleaner_spark dedup --lake s3://bucket/lake \\
+        [--threshold 80 --minhash-k 16 --bands 4 --rows 4 --ngram 3]
 """
 
 from __future__ import annotations
@@ -49,7 +54,42 @@ def _ship_package(spark) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def _dedup_main(argv: list[str]) -> int:
+    """``python -m gleaner_spark dedup --lake <path>``: exact + LSH
+    near-dup over an already-harvested lake's documents (the
+    LLM-pipeline composition; plans/docdedup.py). Appends dup_exact /
+    dup_near snapshots and prints a JSON summary."""
+    ap = argparse.ArgumentParser(prog="gleaner_spark dedup")
+    ap.add_argument("--lake", required=True, help="harvested lake root")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--threshold", type=int, default=80,
+                    help="near-dup Jaccard percent (default 80)")
+    ap.add_argument("--minhash-k", type=int, default=16)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--rows", type=int, default=4)
+    ap.add_argument("--ngram", type=int, default=3)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from .plans.docdedup import run_corpus_dedup
+
+    spark = build_session("gleaner-dedup", master=args.master)
+    _ship_package(spark)
+    out = run_corpus_dedup(
+        spark, Lake(args.lake),
+        run_id=args.run_id or f"dedup-{int(time.time())}",
+        k=args.minhash_k, bands=args.bands, rows=args.rows,
+        n=args.ngram, threshold_pct=args.threshold,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "dedup":
+        return _dedup_main(argv[1:])
     ap = argparse.ArgumentParser(prog="gleaner_spark")
     ap.add_argument("--cfg", required=True, help="YAML config (gleanerConfig.go:35-49)")
     ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")

@@ -1,0 +1,123 @@
+"""Post-harvest corpus dedup plan (VERDICT r4 #6 — the LLM-pipeline
+end state): compose the standalone dedup operators over a HARVESTED
+lake's documents table, not just the synthetic testdata tables.
+
+Two passes, both appended to the lake so downstream corpus builds
+consume them as plain joins:
+
+- ``dup_exact``: byte-identical document groups (one hash-shuffle
+  groupBy over md5(jsonld)). The harvest's seen-set dedup (S27) keys
+  on (source_name, unique_id), so identical CONTENT registered under
+  different identifiers — cross-source mirrors, per-URL @ids over the
+  same payload — survives it; this pass finds those. Keeper = min
+  doc_id, the same deterministic-winner rule as the harvest dedup.
+- ``dup_near``: MinHash+LSH candidate pairs verified by exact shingle
+  Jaccard (operators/dedup.minhash_lsh_dedup) over the fixed JSON-LD
+  text. Banded bucket join — never all-pairs — so the 100-TB shape is
+  the LSH bucket histogram, not N².
+
+``doc_id`` is ``source_name + US + unique_id`` (US = 0x1f, a char no
+URL/identifier contains): the harvest invariant makes that pair the
+documents table's primary key, and a single id column is what the
+pair operators key on. ``split_doc_id`` undoes it for consumers.
+
+Reference parity note: the reference has no post-harvest dedup (its
+seen-set IS its dedup, check.go); this plan is part of the
+beyond-reference LLM-data-pipeline surface (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_duplicates, minhash_lsh_dedup
+from .lake import Lake
+
+DOC_ID_SEP = "\x1f"
+
+
+def corpus_doc_id() -> F.Column:
+    return F.concat_ws(DOC_ID_SEP, F.col("source_name"), F.col("unique_id"))
+
+
+def split_doc_id(df: DataFrame, id_col: str) -> DataFrame:
+    """doc_id → (source_name, unique_id) columns for human-facing
+    output; keeps the original id column."""
+    parts = F.split(F.col(id_col), DOC_ID_SEP, 2)
+    return df.withColumn(f"{id_col}_source", parts.getItem(0)).withColumn(
+        f"{id_col}_unique_id", parts.getItem(1)
+    )
+
+
+def dedup_documents(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    n: int = 3,
+    threshold_pct: int = 80,
+) -> tuple[DataFrame, DataFrame]:
+    """(exact duplicate groups, verified near-dup pairs) over a
+    documents-table DataFrame. Exact groups: (content_hash, keeper_id,
+    n_dups>1). Near pairs: (id_a, id_b, inter, uni) with
+    inter/uni >= threshold_pct/100, id_a < id_b."""
+    base = docs.select(
+        corpus_doc_id().alias("doc_id"), F.col("jsonld").alias("text")
+    )
+    exact = exact_duplicates(base)
+    near = minhash_lsh_dedup(
+        base, k=k, bands=bands, rows=rows, n=n, threshold_pct=threshold_pct
+    )
+    return exact, near
+
+
+def run_corpus_dedup(
+    spark: SparkSession,
+    lake: Lake,
+    run_id: str,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    n: int = 3,
+    threshold_pct: int = 80,
+) -> dict:
+    """Read the lake's documents, run both passes, append ``dup_exact``
+    and ``dup_near`` snapshots, return the summary counts the CLI
+    prints. Empty results still publish (flat 0-row parquet keeps the
+    schema; only dataless PARTITIONED snapshots are refused)."""
+    docs = lake.table("documents").read(spark)
+    if docs is None:
+        return {
+            "run_id": run_id, "documents": 0, "exact_groups": 0,
+            "exact_extra_copies": 0, "near_pairs": 0,
+        }
+    exact, near = dedup_documents(
+        docs, k=k, bands=bands, rows=rows, n=n, threshold_pct=threshold_pct
+    )
+    exact_entry = lake.table("dup_exact").append(exact, run_id=run_id)
+    near_entry = lake.table("dup_near").append(
+        split_doc_id(split_doc_id(near, "id_a"), "id_b"), run_id=run_id
+    )
+    # count the SNAPSHOTS, not the logical plans: re-counting exact/
+    # near would re-run the shingle join, while the written parquet is
+    # a metadata-only count
+    exact_snap = lake.table("dup_exact").read_snapshot(spark, exact_entry)
+    near_snap = lake.table("dup_near").read_snapshot(spark, near_entry)
+    agg = exact_snap.agg(
+        F.count("*").alias("g"), F.sum(F.col("n_dups") - 1).alias("x")
+    ).collect()[0] if exact_snap is not None else None
+    n_groups = int(agg["g"]) if agg else 0
+    extra = int(agg["x"] or 0) if agg else 0
+    n_pairs = near_snap.count() if near_snap is not None else 0
+    return {
+        "run_id": run_id,
+        "documents": docs.count(),
+        "exact_groups": n_groups,
+        "exact_extra_copies": int(extra or 0),
+        "near_pairs": n_pairs,
+        "snapshots": {
+            "dup_exact": exact_entry["snapshot_id"],
+            "dup_near": near_entry["snapshot_id"],
+        },
+    }

@@ -187,6 +187,14 @@ class LakeTable:
             df = part if df is None else df.unionByName(part, allowMissingColumns=True)
         return df
 
+    def read_snapshot(self, spark: SparkSession, entry: dict) -> DataFrame | None:
+        """Read exactly one snapshot's data from its append() entry;
+        None for an unpublished or dataless entry."""
+        d = os.path.join(self.dir, entry["data_dir"])
+        if entry.get("published") is False or not os.path.isdir(d) or not self._has_data(d):
+            return None
+        return spark.read.option("mergeSchema", "false").parquet(d)
+
     def drop_snapshot(self, snapshot_id: str) -> None:
         """Remove one snapshot from the manifest (used to discard
         empty appends); its data dir is left for vacuum()."""

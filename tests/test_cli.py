@@ -93,7 +93,15 @@ def test_cli_single_source_and_resume(spark, tmp_lake, tmp_path, capsys):
     ])
     assert rc == 0
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert second["new_documents"] == 0  # phases checkpointed → skipped
+    # phases checkpointed → skipped; the resume reports the committed
+    # marker's durable counts (ADVICE r4: zeros here misled callers
+    # that crashed between the phase-2 commit and the prune), while
+    # the lake itself must not grow
+    assert second["new_documents"] == first["new_documents"]
+    from gleaner_spark.plans.lake import Lake
+
+    docs = Lake(tmp_lake).table("documents")
+    assert len({s["run_id"] for s in docs.snapshots()}) == 1
 
 
 def test_cli_rude_requires_source(tmp_path, capsys):
@@ -106,3 +114,70 @@ def test_cli_rude_requires_source(tmp_path, capsys):
     ])
     assert rc == 1
     assert "rude is only valid" in capsys.readouterr().err
+
+
+def test_cli_dedup_over_harvested_lake(spark, tmp_lake, tmp_path, capsys):
+    """VERDICT r4 #6: the LLM-pipeline composition — exact-dedup + LSH
+    near-dup run over a HARVESTED lake's documents via the CLI. Mirror
+    rows injected under a second source guarantee both passes fire:
+    identical content under different (source, unique_id) keys is
+    exactly what the harvest seen-set (S27) cannot catch."""
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.plans.lake import Lake
+
+    fx = _write_fixtures(spark, str(tmp_path), n=200)
+    rc = main([
+        "--cfg", fx["cfg"], "--pages", fx["pages"], "--seeds", fx["seeds"],
+        "--lake", tmp_lake, "--setup", "--run-id", "dd-h",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    lake = Lake(tmp_lake)
+    docs = lake.table("documents").read(spark)
+    n_docs = docs.count()
+    mirrors = (
+        docs.orderBy("source_name", "unique_id").limit(3)
+        .withColumn("source_name", F.concat(F.lit("mirror-"), F.col("source_name")))
+    )
+    lake.table("documents").append(mirrors, run_id="dd-mirror")
+
+    rc = main(["dedup", "--lake", tmp_lake, "--run-id", "dd-1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["run_id"] == "dd-1"
+    assert out["documents"] == n_docs + 3
+    # each mirrored doc forms one byte-identical group of 2
+    assert out["exact_groups"] >= 3
+    assert out["exact_extra_copies"] >= 3
+    # identical text is a near-dup pair at any threshold
+    assert out["near_pairs"] >= 3
+
+    exact = lake.table("dup_exact").read(spark)
+    assert exact.filter(F.col("n_dups") < 2).count() == 0
+    near = lake.table("dup_near").read(spark)
+    for c in ("id_a", "id_b", "inter", "uni",
+              "id_a_source", "id_b_source",
+              "id_a_unique_id", "id_b_unique_id"):
+        assert c in near.columns
+    # mirror pairs: same unique_id, different source, Jaccard == 1
+    mirror_pairs = near.filter(
+        (F.col("id_a_unique_id") == F.col("id_b_unique_id"))
+        & (F.col("inter") == F.col("uni"))
+    )
+    assert mirror_pairs.count() >= 3
+    # pair ids resolve back to real documents (join closes the loop)
+    all_ids = {r["d"] for r in lake.table("documents").read(spark).select(
+        F.concat_ws("\x1f", "source_name", "unique_id").alias("d")
+    ).collect()}
+    for r in near.select("id_a", "id_b").limit(50).collect():
+        assert r["id_a"] in all_ids and r["id_b"] in all_ids
+
+
+def test_cli_dedup_empty_lake(spark, tmp_path, capsys):
+    rc = main(["dedup", "--lake", str(tmp_path / "nothing"), "--run-id", "dd-0"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"run_id": "dd-0", "documents": 0, "exact_groups": 0,
+                   "exact_extra_copies": 0, "near_pairs": 0}
