@@ -14,6 +14,7 @@ Env:
   BENCH_HARVEST_ONLY  (=1: skip the analytics suite; for scaling runs)
   BENCH_IDLE_GATE     (=0: disable the idle-host gate)
   BENCH_IDLE_THRESH   (1-min loadavg gate threshold, default 3.0)
+  BENCH_DRAM_THRESH   (DRAM sweep-probe gate seconds, default 0.012; 0 disables)
   BENCH_IDLE_WAIT_S   (startup gate cap, default 600)
   BENCH_SAMPLE_WAIT_S (inter-sample gate cap, default 120)
   BENCH_CANARY_CORE   (core for the DRAM canary, default last)
@@ -36,14 +37,40 @@ def _loadavg() -> float:
         return float(f.read().split()[0])
 
 
-def _wait_for_idle(thresh: float, max_wait_s: float) -> float:
+def _dram_probe(sweeps: int = 3) -> float:
+    """Best-of-N strided 128 MB sweep time — the only contention
+    signal that sees the NEIGHBOURS on this box: it is a Firecracker
+    microVM, so /proc/loadavg counts only our own processes while the
+    host's other VMs share the DRAM bus (sweeps measured 0.011 s on a
+    quiet bus and 0.06 s under neighbour pressure with our loadavg
+    near zero both times). Same kernel as the scaling harness canary;
+    min (not median) because our own probe can only be slowed."""
+    import numpy as np
+
+    arr = np.arange(4 * 1024 * 1024, dtype=np.uint64)  # 32 MB buffer
+    best = float("inf")
+    for i in range(sweeps + 1):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            arr[::8].sum()
+        if i:  # first sweep warms the buffer (page faults)
+            best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _wait_for_idle(thresh: float, max_wait_s: float,
+                   dram_thresh: float | None = None) -> float:
     """Idle-host gate (VERDICT r4 #1, ported from tools/bench_scaling):
     neighbour load on this shared VM only ever slows a sample, so the
     timed window starts when the 1-min loadavg drops under ``thresh``
+    AND (when ``dram_thresh`` is set) a DRAM sweep probe runs under
+    ``dram_thresh`` — loadavg alone is blind to other VMs on the host
     (capped so the benchmark always completes). Returns seconds waited."""
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
-        if _loadavg() <= thresh:
+        if _loadavg() <= thresh and (
+            dram_thresh is None or _dram_probe() <= dram_thresh
+        ):
             break
         time.sleep(10)
     return round(time.time() - t0, 1)
@@ -107,9 +134,10 @@ def main() -> None:
     gate_on = os.environ.get("BENCH_IDLE_GATE", "1") == "1"
     idle_thresh = float(os.environ.get("BENCH_IDLE_THRESH", "3.0"))
     idle_wait = float(os.environ.get("BENCH_IDLE_WAIT_S", "600"))
+    dram_thresh = float(os.environ.get("BENCH_DRAM_THRESH", "0.012")) or None
     gate_waits: list[float] = []
     if gate_on:
-        gate_waits.append(_wait_for_idle(idle_thresh, idle_wait))
+        gate_waits.append(_wait_for_idle(idle_thresh, idle_wait, dram_thresh))
     canary_core = int(os.environ.get("BENCH_CANARY_CORE",
                                      str((os.cpu_count() or 32) - 1)))
 
@@ -178,7 +206,7 @@ def main() -> None:
     hcanary = []
     for i in range(n_hruns):
         if gate_on and i > 0:  # run 0 is covered by the startup gate
-            gate_waits.append(_wait_for_idle(idle_thresh, sample_wait))
+            gate_waits.append(_wait_for_idle(idle_thresh, sample_wait, dram_thresh))
         hloads.append(_loadavg())
         canary = _Canary(canary_core)
         lake_dir = tempfile.mkdtemp(prefix="gleaner-bench-lake-")
@@ -270,7 +298,7 @@ def main() -> None:
         pass_canary = []
         for p in range(n_runs):
             if gate_on and p > 0:  # pass 0 rides the harvest's window
-                gate_waits.append(_wait_for_idle(idle_thresh, sample_wait))
+                gate_waits.append(_wait_for_idle(idle_thresh, sample_wait, dram_thresh))
             loads.append(_loadavg())
             canary = _Canary(canary_core)
             for name in suite:

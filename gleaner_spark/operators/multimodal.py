@@ -245,7 +245,11 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests/bench."""
+    """Deterministic fake media table for tests/bench. Coalesced to
+    ~16 rows/partition: createDataFrame splits even a 64-row frame
+    over defaultParallelism partitions, and each task forks a python
+    worker — a fork storm that costs 10-20x the actual decode work
+    and is pure measurement noise for the feature contract."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -259,4 +263,6 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 (1000 * (1 + i % 10)) if kind != "image" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
+        max(2, n // 16)
+    )
