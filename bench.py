@@ -58,6 +58,21 @@ def _dram_probe(sweeps: int = 3) -> float:
     return best
 
 
+def _wait_for_probe(dram_thresh: float, max_wait_s: float) -> float:
+    """Probe-only gate for BETWEEN-query re-arms: mid-suite our OWN
+    decaying 1-min loadavg sits above any useful threshold, so the
+    loadavg term of _wait_for_idle would block until the cap on every
+    query. The DRAM sweep sees only the neighbours (our Spark is idle
+    between queries; the canary is 0.5% duty-cycle), so it alone
+    decides. Returns seconds waited."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if _dram_probe() <= dram_thresh:
+            break
+        time.sleep(2)
+    return round(time.time() - t0, 1)
+
+
 def _wait_for_idle(thresh: float, max_wait_s: float,
                    dram_thresh: float | None = None) -> float:
     """Idle-host gate (VERDICT r4 #1, ported from tools/bench_scaling):
@@ -204,7 +219,17 @@ def main() -> None:
     best = None
     hloads = []
     hcanary = []
-    for i in range(n_hruns):
+    hsamples: list[float] = []
+    # adaptive budget: same one-sided-min reasoning as the suite —
+    # if the two fastest harvest phases disagree by >15% the min is
+    # probably still contaminated, take extra gated runs (bounded).
+    hruns_max = max(n_hruns, int(os.environ.get("BENCH_HARVEST_RUNS_MAX", "7")))
+    i = 0
+    while i < n_hruns or (
+        i < hruns_max
+        and len(hsamples) >= 2
+        and sorted(hsamples)[1] > 1.15 * min(hsamples)
+    ):
         if gate_on and i > 0:  # run 0 is covered by the startup gate
             gate_waits.append(_wait_for_idle(idle_thresh, sample_wait, dram_thresh))
         hloads.append(_loadavg())
@@ -217,14 +242,17 @@ def main() -> None:
         )
         t = time.time() - t0
         hcanary.append(canary.stop())
+        hsamples.append(r.timings["harvest"])
         if best is None or r.timings["harvest"] < best[0].timings["harvest"]:
             if best is not None:
                 shutil.rmtree(best[2], ignore_errors=True)
             best = (r, t, lake_dir)
         else:
             shutil.rmtree(lake_dir, ignore_errors=True)
+        i += 1
     res, total_s, lake_dir = best
-    extra["harvest_runs"] = n_hruns
+    extra["harvest_runs"] = len(hsamples)
+    extra["harvest_samples"] = [round(s, 3) for s in hsamples]
     extra["harvest_loadavg_pre"] = hloads
     extra["harvest_canary_dt"] = hcanary
     # the BASELINE.json metric is fetch+extract throughput over an
@@ -292,6 +320,7 @@ def main() -> None:
             "multimodal_features",
         ]
         n_runs = int(os.environ.get("BENCH_SUITE_RUNS", "3"))
+        query_gate_s = 0.0
         samples: dict[str, list[float]] = {name: [] for name in suite}
         qloads: dict[str, list[float]] = {name: [] for name in suite}
         loads = []
@@ -302,11 +331,35 @@ def main() -> None:
             loads.append(_loadavg())
             canary = _Canary(canary_core)
             for name in suite:
+                if gate_on and dram_thresh:
+                    # per-query probe-only re-arm (VERDICT r4 #1): a
+                    # neighbour burst arriving MID-pass otherwise
+                    # contaminates every remaining sample of the pass
+                    # (r4's artifact of record). Cheap (~0.05 s when
+                    # quiet), capped so a busy hour can't stall the
+                    # suite (21 queries × 20 s worst case).
+                    query_gate_s += _wait_for_probe(dram_thresh, 20)
                 qloads[name].append(round(_loadavg(), 2))
                 t0 = time.time()
                 qs[name](spark, sf_dir).count()
                 samples[name].append(time.time() - t0)
             pass_canary.append(canary.stop())
+        # adaptive retries: the reported number is a MIN, so its error
+        # is one-sided — if the two fastest draws of a query disagree
+        # by >15% the min itself is probably still contaminated (a
+        # neighbour burst can span a whole pass). Give those queries
+        # extra gated draws, bounded at 5 total per query.
+        retry_cap = int(os.environ.get("BENCH_QUERY_DRAWS_MAX", "5"))
+        for name in suite:
+            while len(samples[name]) < retry_cap:
+                s = sorted(samples[name])
+                if len(s) >= 2 and s[1] <= 1.15 * s[0]:
+                    break
+                if gate_on and dram_thresh:
+                    query_gate_s += _wait_for_probe(dram_thresh, 20)
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                samples[name].append(time.time() - t0)
         for name in suite:
             timings[name] = round(min(samples[name]), 3)
         extra["queries_median"] = {
@@ -318,6 +371,7 @@ def main() -> None:
         extra["suite_runs"] = n_runs
         extra["suite_loadavg_pre"] = loads
         extra["suite_canary_dt"] = pass_canary
+        extra["query_gate_waited_s"] = round(query_gate_s, 1)
 
     out = {
         "metric": "harvest+analytics suite wall time (docs_per_sec = URLs fetched + JSON-LD docs extracted per second in the harvest phase; suite timings = best of suite_runs interleaved passes, medians in queries_median)",
