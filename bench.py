@@ -220,16 +220,30 @@ def main() -> None:
     hloads = []
     hcanary = []
     hsamples: list[float] = []
+    htimings: list[dict] = []
     # adaptive budget: same one-sided-min reasoning as the suite —
     # if the two fastest harvest phases disagree by >15% the min is
     # probably still contaminated, take extra gated runs (bounded).
     hruns_max = max(n_hruns, int(os.environ.get("BENCH_HARVEST_RUNS_MAX", "7")))
     i = 0
-    while i < n_hruns or (
-        i < hruns_max
-        and len(hsamples) >= 2
-        and sorted(hsamples)[1] > 1.15 * min(hsamples)
-    ):
+    def _harvest_needs_more() -> bool:
+        if i < n_hruns:
+            return True
+        if i >= hruns_max:
+            return False
+        if len(hsamples) < 2:  # single-run mode (scaling harness): no
+            return False       # disagreement test possible, stop here
+        s = sorted(hsamples)
+        if s[1] > 1.15 * s[0]:
+            return True  # two fastest draws disagree → min contaminated
+        # two draws can CONCORDANTLY land in the same contended window
+        # (both slow together); only accept the stop when the best
+        # draw's mid-run canary says its window was actually quiet
+        bi = hsamples.index(s[0])
+        c = hcanary[bi]
+        return c is not None and dram_thresh is not None and c > 1.5 * dram_thresh
+
+    while _harvest_needs_more():
         if gate_on and i > 0:  # run 0 is covered by the startup gate
             gate_waits.append(_wait_for_idle(idle_thresh, sample_wait, dram_thresh))
         hloads.append(_loadavg())
@@ -243,6 +257,7 @@ def main() -> None:
         t = time.time() - t0
         hcanary.append(canary.stop())
         hsamples.append(r.timings["harvest"])
+        htimings.append(dict(r.timings, _total=t))
         if best is None or r.timings["harvest"] < best[0].timings["harvest"]:
             if best is not None:
                 shutil.rmtree(best[2], ignore_errors=True)
@@ -260,12 +275,21 @@ def main() -> None:
     # persisted table, not rebuilt per run) → rate uses the harvest
     # phase; seed-list/frontier build is reported alongside.
     phase_s = res.timings["harvest"]
-    for k, v in res.timings.items():
+    # per-key MIN across runs: every reported timing is a min-of-N
+    # estimator in its own right — riding the run that won the
+    # harvest key would charge frontier/phase2 with that run's noise
+    # (frontier and fetch are separate jobs; their noise draws are
+    # independent)
+    def _min_of(key: str) -> float:
+        vals = [ht[key] for ht in htimings if key in ht]
+        return round(min(vals), 3)
+
+    for k in htimings[0]:
         if k.startswith("phase2."):
-            timings[k] = round(v, 3)
+            timings[k] = _min_of(k)
     timings["harvest"] = round(phase_s, 3)
-    timings["harvest_total_with_frontier"] = round(total_s, 3)
-    timings["frontier_build"] = round(res.timings["frontier"], 3)
+    timings["harvest_total_with_frontier"] = _min_of("_total")
+    timings["frontier_build"] = _min_of("frontier")
     work_units = res.fetched + res.extracted  # URLs fetched + docs extracted
     extra["harvest_pages"] = n_pages
     extra["harvest_fetched"] = res.fetched

@@ -85,11 +85,30 @@ def _dedup_main(argv: list[str]) -> int:
     return 0
 
 
+def _vacuum_main(argv: list[str]) -> int:
+    """``python -m gleaner_spark vacuum --lake <path>``: delete
+    snap-* data dirs no manifest references (left by drop_snapshot/
+    rollback_to/refused appends — Lake.vacuum docstring). Pure
+    driver-side filesystem walk; no Spark session. Prints a JSON
+    summary of removed dirs per table."""
+    ap = argparse.ArgumentParser(prog="gleaner_spark vacuum")
+    ap.add_argument("--lake", required=True, help="lake root to vacuum")
+    ap.add_argument("--min-age-s", type=float, default=3600.0,
+                    help="only sweep dirs older than this (default 1h; "
+                         "guards in-flight appends)")
+    args = ap.parse_args(argv)
+    removed = Lake(args.lake).vacuum(min_age_s=args.min_age_s)
+    print(json.dumps({"lake": args.lake, "removed": removed}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "dedup":
         return _dedup_main(argv[1:])
+    if argv and argv[0] == "vacuum":
+        return _vacuum_main(argv[1:])
     ap = argparse.ArgumentParser(prog="gleaner_spark")
     ap.add_argument("--cfg", required=True, help="YAML config (gleanerConfig.go:35-49)")
     ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")

@@ -181,3 +181,37 @@ def test_cli_dedup_empty_lake(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"run_id": "dd-0", "documents": 0, "exact_groups": 0,
                    "exact_extra_copies": 0, "near_pairs": 0}
+
+
+def test_cli_vacuum_sweeps_orphans_only(tmp_path, capsys):
+    """`vacuum` removes unreferenced snap-* dirs past min-age, keeps
+    manifest-live and too-young dirs, and needs no Spark session."""
+    from gleaner_spark.plans.lake import Lake
+
+    lake = Lake(str(tmp_path / "lake"))
+    t = lake.table("documents")
+    live = os.path.join(t.dir, "snap-live")
+    orphan_old = os.path.join(t.dir, "snap-orphan-old")
+    orphan_new = os.path.join(t.dir, "snap-orphan-new")
+    for d in (live, orphan_old, orphan_new):
+        os.makedirs(d)
+    t._write_manifest([{"snapshot_id": "s1", "data_dir": "snap-live",
+                        "run_id": "r", "files": []}])
+    old = 1_000_000.0
+    os.utime(orphan_old, (old, old))
+
+    rc = main(["vacuum", "--lake", lake.root])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"] == {"documents": ["snap-orphan-old"]}
+    assert os.path.isdir(live) and os.path.isdir(orphan_new)
+    assert not os.path.exists(orphan_old)
+
+    # --min-age-s 0 sweeps the young orphan too; idempotent after
+    rc = main(["vacuum", "--lake", lake.root, "--min-age-s", "0"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"] == {"documents": ["snap-orphan-new"]}
+    rc = main(["vacuum", "--lake", lake.root, "--min-age-s", "0"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["removed"] == {}
