@@ -245,24 +245,31 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests/bench. Coalesced to
-    ~16 rows/partition: createDataFrame splits even a 64-row frame
-    over defaultParallelism partitions, and each task forks a python
-    worker — a fork storm that costs 10-20x the actual decode work
-    and is pure measurement noise for the feature contract."""
-    rows = []
+    """Deterministic fake media table for tests/bench. Built as a
+    pandas frame so createDataFrame takes the Arrow fast path: a
+    list-of-tuples frame is parallelize()-backed, which re-runs a
+    pickled python deserializer task per partition on EVERY action
+    (~1.6 s per count() for 64 rows vs 0.2 s for a JVM-local scan —
+    pure harness overhead that dwarfs the decode work under test).
+    Coalesced to ~16 rows/partition to bound task fan-out."""
     kinds = ["image", "audio", "video"]
+    rows = {
+        "media_id": [], "kind": [], "payload": [], "content_type": [],
+        "width": [], "height": [], "duration_ms": [],
+    }
     for i in range(n):
         kind = kinds[i % 3]
         payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 4)
-        rows.append(
-            (
-                i, kind, bytearray(payload), f"{kind}/x-synthetic",
-                64 + i % 128 if kind == "image" else None,
-                64 + i % 64 if kind == "image" else None,
-                (1000 * (1 + i % 10)) if kind != "image" else None,
-            )
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["content_type"].append(f"{kind}/x-synthetic")
+        rows["width"].append(64 + i % 128 if kind == "image" else None)
+        rows["height"].append(64 + i % 64 if kind == "image" else None)
+        rows["duration_ms"].append(
+            (1000 * (1 + i % 10)) if kind != "image" else None
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
+    pdf = pd.DataFrame(rows)
+    return spark.createDataFrame(pdf, MEDIA_SCHEMA).coalesce(
         max(2, n // 16)
     )
