@@ -301,6 +301,9 @@ def run_harvest(
             snap_dir = f"{lake.table('documents').dir}/{snap['data_dir']}"
             # zero-new-row appends never entered the manifest (the lake
             # refuses dataless snapshots), so there is nothing to retract
+            sketch_thread = None
+            sketch_err: list[BaseException] = []
+            sketch_bg_s = [0.0]
             if res.new_documents > 0:
                 snap_keys = spark.read.parquet(snap_dir).select(
                     F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
@@ -314,12 +317,37 @@ def run_harvest(
                     all_keys = lake.table("documents").read(spark).select(
                         F.concat_ws("/", "source_name", "unique_id").alias("seen_key")
                     )
-                hv.checkpoint_seen_sketch(
-                    spark, lake, snap_keys, sk_entry, res.new_documents, run_id,
-                    all_keys=all_keys,
-                    covers_snapshot_id=snap["snapshot_id"],
+
+                # the sketch checkpoint shares no state with the metrics
+                # or prov writes (own jobs, own table dir, own manifest),
+                # so its bloom-build job overlaps them on a driver thread
+                # — local[32] and a real cluster both schedule concurrent
+                # jobs fine, and the phase's crash contract is unchanged:
+                # the join below re-raises BEFORE the commit marker, and
+                # a sketch that lands against a later-rolled-back
+                # snapshot is refused by load_seen_sketch's lineage guard
+                # (covers_snapshot_id must equal the table head).
+                def _ckpt_sketch() -> None:
+                    t0 = time.time()
+                    try:
+                        hv.checkpoint_seen_sketch(
+                            spark, lake, snap_keys, sk_entry,
+                            res.new_documents, run_id,
+                            all_keys=all_keys,
+                            covers_snapshot_id=snap["snapshot_id"],
+                        )
+                    except BaseException as e:  # noqa: BLE001 - re-raised at join
+                        sketch_err.append(e)
+                    finally:
+                        sketch_bg_s[0] = time.time() - t0
+
+                import threading
+
+                sketch_thread = threading.Thread(
+                    target=_ckpt_sketch, name="seen-sketch", daemon=True
                 )
-            _mark("snap_count", _t)
+                sketch_thread.start()
+            _mark("snap_plan", _t)
 
             # metrics: one aggregation over the cached fused output (the
             # sentinel rows make zero-doc pages visible); tiny rows land
@@ -348,6 +376,18 @@ def run_harvest(
                                           partition_by=["source_name"],
                                           files_per_partition=0)
             _mark("prov", _t)
+
+            # join the overlapped sketch checkpoint before the marker:
+            # a sketch failure must keep the run torn (resume rolls the
+            # phase back) rather than commit with a stale seen set.
+            # snap_count reports the residual wall-clock wait here (the
+            # bloom build's own duration is phase2.sketch_bg).
+            if sketch_thread is not None:
+                sketch_thread.join()
+                if sketch_err:
+                    raise sketch_err[0]
+                res.timings["phase2.sketch_bg"] = sketch_bg_s[0]
+            _mark("snap_count", _t)
 
             # the commit marker is the LAST durable write of the phase:
             # everything before it re-runs cleanly after a crash (torn
