@@ -16,6 +16,7 @@ deterministic corpus — and pin:
 
 from __future__ import annotations
 
+import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -583,3 +584,177 @@ class TestLiveHeadlessFallback:
             pytest.skip("websocket-client present; construction succeeds")
         with pytest.raises(RuntimeError, match="websocket-client"):
             lf.cdp_renderer("http://localhost:9222")
+
+
+# ---------------------------------------------------------------------------
+# The real CDP protocol path, driven against a fake DevTools endpoint
+# ---------------------------------------------------------------------------
+
+
+class _FakeDevtools:
+    """Fake Chrome DevTools HTTP endpoint: answers PUT /json/new with a
+    target descriptor (headless.go:190-196's devtool.Create analog)."""
+
+    def __init__(self, ws_url: str):
+        outer = self
+        self.puts: list[str] = []
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_PUT(self):  # noqa: N802 - stdlib API
+                outer.puts.append(self.path)
+                body = json.dumps(
+                    {"id": "FAKE-TARGET", "webSocketDebuggerUrl": ws_url}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+class _ScriptedWS:
+    """Scripted CDP websocket: replies to each method like a real
+    browser session, interleaving one page event BEFORE the navigate
+    response and one after — the exact ordering hazard _rpc's
+    event-buffering exists for (responses and events share the socket)."""
+
+    def __init__(self, evaluate_reply):
+        self._evaluate_reply = evaluate_reply
+        self.queue: list[dict] = []
+        self.sent: list[dict] = []
+        self.closed = False
+
+    def send(self, payload):
+        msg = json.loads(payload)
+        self.sent.append(msg)
+        i, m = msg["id"], msg["method"]
+        if m == "Page.enable":
+            self.queue.append({"id": i, "result": {}})
+        elif m == "Page.navigate":
+            self.queue.append({"method": "Page.domContentEventFired"})
+            self.queue.append({"id": i, "result": {"frameId": "F0"}})
+            self.queue.append({"method": "Page.loadEventFired"})
+        elif m == "Runtime.evaluate":
+            self.queue.append(self._evaluate_reply(i, msg["params"]))
+
+    def recv(self):
+        return json.dumps(self.queue.pop(0))
+
+    def close(self):
+        self.closed = True
+
+
+class _FakeWSModule:
+    def __init__(self, ws):
+        self.ws = ws
+        self.connected_to = None
+
+    def create_connection(self, url, timeout=None):
+        self.connected_to = url
+        return self.ws
+
+
+def _patched_cdp(monkeypatch, evaluate_reply):
+    """(renderer, fake devtools server, scripted ws, ws module) with the
+    websocket transport stubbed in — exercises every line of the real
+    CDP path except the socket library itself."""
+    from gleaner_spark.operators import livefetch as lf
+
+    ws = _ScriptedWS(evaluate_reply)
+    mod = _FakeWSModule(ws)
+    monkeypatch.setattr(lf, "_websocket", mod)
+    monkeypatch.setattr(lf, "HAS_WEBSOCKET", True)
+    dt = _FakeDevtools("ws://127.0.0.1:1/devtools/page/FAKE-TARGET")
+    render = lf.cdp_renderer(f"http://127.0.0.1:{dt.port}", timeout_s=5.0)
+    return render, dt, ws, mod
+
+
+class TestCdpRendererProtocol:
+    def test_successful_render_returns_extractable_html(self, monkeypatch):
+        """Full happy path: PUT /json/new → attach to the target's own
+        ws URL → Page.enable → Page.navigate → await load events (one
+        delivered BEFORE the navigate response) → Runtime.evaluate
+        (awaitPromise) → rendered scripts wrapped so re-extraction is
+        byte-identical (headless.go:111-357)."""
+        from gleaner_spark.core import extract as ex
+
+        docs = ['{"@context":"http://schema.org/","@id":"rendered-1"}',
+                '{"@id":"rendered-2"}']
+
+        def reply(i, params):
+            return {"id": i,
+                    "result": {"result": {"type": "object", "value": docs}}}
+
+        render, dt, ws, mod = _patched_cdp(monkeypatch, reply)
+        try:
+            out = render("https://js.example.org/page1", 7)
+        finally:
+            dt.stop()
+        assert dt.puts == ["/json/new"]
+        assert mod.connected_to == "ws://127.0.0.1:1/devtools/page/FAKE-TARGET"
+        # the rendered DOM must re-extract the injected docs byte-identically
+        assert ex.extract_from_text_fallback(out) == docs
+        assert ws.closed
+        # protocol shape: enable → navigate(url) → evaluate(polling expr
+        # with the source's HeadlessWait and the reference's 3 retries)
+        methods = [m["method"] for m in ws.sent]
+        assert methods == ["Page.enable", "Page.navigate", "Runtime.evaluate"]
+        assert ws.sent[1]["params"]["url"] == "https://js.example.org/page1"
+        ev = ws.sent[2]["params"]
+        assert ev["awaitPromise"] and ev["returnByValue"]
+        assert 'application/ld+json' in ev["expression"]
+        assert "attempt(3)" in ev["expression"]          # headless.go:152
+        assert "7000" in ev["expression"]                # wait_s → ms
+
+    def test_promise_rejection_fails_silently(self, monkeypatch):
+        """No JSON-LD after all retries → the page's promise rejects →
+        exceptionDetails in the reply → None, no exception (the
+        reference 'simply does not index' — headless.go:305-311)."""
+        def reply(i, params):
+            return {"id": i, "result": {
+                "result": {"type": "string", "value": "No JSON-LD present"},
+                "exceptionDetails": {"text": "Uncaught (in promise)"},
+            }}
+
+        render, dt, ws, _ = _patched_cdp(monkeypatch, reply)
+        try:
+            assert render("https://js.example.org/none", 1) is None
+        finally:
+            dt.stop()
+        assert ws.closed
+
+    def test_empty_value_returns_none(self, monkeypatch):
+        def reply(i, params):
+            return {"id": i, "result": {"result": {"type": "object", "value": []}}}
+
+        render, dt, ws, _ = _patched_cdp(monkeypatch, reply)
+        try:
+            assert render("https://js.example.org/empty", 1) is None
+        finally:
+            dt.stop()
+
+    def test_transport_error_midflow_returns_none_and_closes(self, monkeypatch):
+        """A dead browser connection mid-protocol must not kill the
+        fetch task: render errors annotate the row upstream, never
+        raise (acquire.go:199-201)."""
+        def reply(i, params):
+            raise ConnectionResetError("browser went away")
+
+        render, dt, ws, _ = _patched_cdp(monkeypatch, reply)
+        try:
+            assert render("https://js.example.org/dead", 1) is None
+        finally:
+            dt.stop()
+        assert ws.closed
