@@ -234,7 +234,8 @@ def process_documents(extracted: DataFrame, sources: list[Source],
 def extract_and_process(fetched: DataFrame, sources: list[Source],
                         headless_wait_by_source: dict[str, int] | None = None,
                         global_strict: bool = False,
-                        context_maps: dict[str, dict] | None = None) -> DataFrame:
+                        context_maps: dict[str, dict] | None = None,
+                        emit_raw: bool = True) -> DataFrame:
     """Fused S16-S26: extraction + fixup chain + hashing in ONE Arrow
     pass. Chaining two ``mapInPandas`` calls puts two python runners in
     the same Spark stage (2 workers *per task* — a 2x worker
@@ -247,7 +248,15 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
     downstream metrics aggregation sees every fetched page without a
     second pass over the html-bearing join output — html flows through
     this stage exactly once and is never cached (at CC scale the
-    binary column dominates all IO; touch it once)."""
+    binary column dominates all IO; touch it once).
+
+    ``emit_raw=False`` nulls the pre-fixup ``jsonld`` column (schema
+    unchanged). The harvest pipeline sinks only ``fixed_jsonld``
+    (documents_table) — the raw text would otherwise ride the Arrow
+    transfer out of the Python worker and the phase-2 persist as a
+    second full copy of every document that nothing reads. Keep the
+    default for extraction-parity tests (the byte-identical invariant
+    pins the raw column)."""
     hw = headless_wait_by_source or {}
     opts = {
         s.name: (s.fix_context_option, s.identifier_type,
@@ -274,7 +283,7 @@ def extract_and_process(fetched: DataFrame, sources: list[Source],
                 out["url"].append(row.url)
                 out["position"].append(row.position)
                 out["doc_idx"].append(j)
-                out["jsonld"].append(d)
+                out["jsonld"].append(d if emit_raw else None)
                 out["via_fallback"].append(via_fallback)
                 out["fixed_jsonld"].append(fixed)
                 # None = content-sha identity, completed JVM-side

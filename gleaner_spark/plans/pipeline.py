@@ -240,8 +240,11 @@ def run_harvest(
                 broadcast_frontier=0 < res.frontier_size <= broadcast_frontier_max_rows,
             )
         hw = {s.name: s.headless_wait for s in sources}
+        # emit_raw=False: the pipeline sinks fixed_jsonld only; the raw
+        # pre-fixup text would double the Arrow transfer and the persist
         processed = hv.extract_and_process(
-            fetched, sources, hw, global_strict, context_maps=context_maps
+            fetched, sources, hw, global_strict, context_maps=context_maps,
+            emit_raw=False,
         )
         processed = processed.persist()
         try:

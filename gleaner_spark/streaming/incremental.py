@@ -125,7 +125,8 @@ def incremental_harvest(
         )
 
         processed = hv.extract_and_process(
-            fetched, sources, hw, global_strict, context_maps=context_maps
+            fetched, sources, hw, global_strict, context_maps=context_maps,
+            emit_raw=False,
         ).persist()
         try:
             docs_only = processed.filter(F.col("doc_idx") >= 0)

@@ -526,6 +526,42 @@ class TestFusedExtractProcess:
         import pyspark.sql.functions as F
         assert total_bytes == fetched.select(F.sum(F.length("html"))).first()[0]
 
+    def test_emit_raw_false_nulls_only_the_raw_column(self, spark):
+        """The pipeline path (emit_raw=False) must differ from the
+        default fused output ONLY in the raw ``jsonld`` column being
+        null — same schema, same rows, same hashes/identifiers."""
+        from gleaner_spark.operators import harvest as hv
+        from gleaner_spark.sources import corpus
+        import pyspark.sql.functions as F
+
+        n = 120
+        pages = corpus.build_pages(spark, n, partitions=2)
+        sources = corpus.build_sources()
+        frontier = pages.select(
+            "url",
+            F.lit("src0").alias("source_name"),
+            F.lit(1).cast("long").alias("position"),
+        )
+        fetched = hv.fetch_pages(frontier, pages, broadcast_frontier=True)
+        hw = {s.name: s.headless_wait for s in sources}
+        full = hv.extract_and_process(fetched, sources, hw, False)
+        lean = hv.extract_and_process(fetched, sources, hw, False,
+                                      emit_raw=False)
+        assert full.schema == lean.schema
+        key = ["url", "doc_idx"]
+        a = {tuple(r[k] for k in key): r.asDict() for r in full.collect()}
+        b = {tuple(r[k] for k in key): r.asDict() for r in lean.collect()}
+        assert a.keys() == b.keys() and len(a) > 0
+        saw_doc = False
+        for k, row in b.items():
+            assert row["jsonld"] is None
+            if row["doc_idx"] >= 0:
+                saw_doc = True
+                assert row["fixed_jsonld"] == a[k]["fixed_jsonld"] != ""
+            assert {k2: v for k2, v in row.items() if k2 != "jsonld"} == \
+                   {k2: v for k2, v in a[k].items() if k2 != "jsonld"}
+        assert saw_doc
+
 
 class TestIvf:
     def test_ivf_recall_vs_brute_force(self, spark):
