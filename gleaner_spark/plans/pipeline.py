@@ -372,9 +372,12 @@ def run_harvest(
             if res.prov_records:
                 # narrow-first clustering: the exchange moves (source,
                 # id, url) keys, the 2 KB rendered graph is born already
-                # clustered, and the sink write adds no shuffle of its own
+                # clustered, and the sink write adds no shuffle of its own.
+                # Same cluster width as the documents sink: render + sha1
+                # parallelism per source tracks the cores its share of
+                # the run deserves instead of a flat 4 lanes.
                 prov = hv.prov_table(docs_only, sources, bucket, run_date,
-                                     cluster_files=4)
+                                     cluster_files=cfiles)
                 lake.table("prov").append(prov, run_id=run_id,
                                           partition_by=["source_name"],
                                           files_per_partition=0)

@@ -909,9 +909,10 @@ def test_documents_sink_file_bound_per_source(spark, tmp_lake, world):
     for d in src_dirs:
         n = len(glob.glob(os.path.join(d, "*.parquet")))
         assert 1 <= n <= cfiles, f"{d}: {n} files > cfiles={cfiles}"
-    # prov sink honors its own bound too (cluster_files=4 in pipeline)
+    # prov sink honors the same per-source bound (cluster_files=cfiles
+    # in pipeline, aligned with the documents sink)
     pt = lake.table("prov")
     psnap_dir = os.path.join(pt.dir, pt.latest_snapshot()["data_dir"])
     for d in glob.glob(os.path.join(psnap_dir, "source_name=*")):
         n = len(glob.glob(os.path.join(d, "*.parquet")))
-        assert 1 <= n <= 4, f"{d}: {n} prov files > 4"
+        assert 1 <= n <= cfiles, f"{d}: {n} prov files > cfiles={cfiles}"
