@@ -8,14 +8,18 @@ Scale notes:
 - exact:     one hash-shuffle on the content hash (map-side partial
              agg); at CC scale partition the hash space.
 - minhash:   K permutation mins fold into ONE groupBy (K agg columns,
-             no K× row blowup); LSH banding turns O(n²) pairs into
-             per-bucket joins. Bands/rows tune recall.
+             map-side combine — ~n_docs shuffled rows, no K× row
+             blowup); LSH banding turns O(n²) pairs into per-bucket
+             joins. Bands/rows tune recall.
 - simhash:   B per-bit majority aggregates in one groupBy; duplicates
              collide on the full signature (or band for hamming<k).
 - ngram:     exact Jaccard via shingle-hash self-join; the join key
              is the shingle hash so co-occurrence shuffles only
-             matching shingles. Integer-ratio threshold avoids float
-             drift across engines.
+             matching shingles; the per-doc shingle distinct is a
+             map-side array_distinct (the exploded shingle set — the
+             widest table in the plan — is exchanged exactly once,
+             by the self-join's own repartition). Integer-ratio
+             threshold avoids float drift across engines.
 - embedding: cosine over array<float>; brute-force for verification,
              LSH-bucketed variant in operators/ann.py for scale.
 """
@@ -55,15 +59,28 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
 
 def shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (id, shingle_hash) pairs."""
+    """Distinct (id, shingle_hash) pairs — ZERO exchanges.
+
+    The distinct happens inside each row: ``array_distinct`` over the
+    row's own shingle-string array replaces the old global
+    ``.distinct()``, which exchanged the exploded shingle set — the
+    widest table in every fuzzy-dedup plan (~10× the corpus bytes at
+    n=3). Equivalent because each input row owns its doc_id, so no
+    (doc_id, shingle) duplicate can span rows (precondition, the
+    natural key of a documents table: ``id_col`` unique per row).
+    The md5 hashing stays on the EXPLODED rows where it whole-stage-
+    codegens — inside a higher-order transform it is interpreted
+    per-element and measured 8× slower. Distinct-on-strings vs the
+    old distinct-on-hashes differs only if two distinct shingles of
+    ONE doc collide in the 60-bit hash (~2⁻⁶⁰ per pair; the DuckDB
+    oracle contract verifies the fixed corpora)."""
     return (
         _ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select(
             "doc_id",
-            F.explode(X.word_shingles(F.col(text_col), n)).alias("shingle"),
+            F.explode(F.array_distinct(X.word_shingles(F.col(text_col), n))).alias("shingle"),
         )
         .select("doc_id", X.md5_long(F.col("shingle")).alias("sh"))
-        .distinct()
     )
 
 
@@ -115,7 +132,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     else:
         sizes_src = swap_persist("ngram_sh", sh)[0]
         sh_p = sizes_src.repartition(par, "sh")
-    # Jaccard over the (possibly capped) shingle universe
+    # Jaccard over the (possibly capped) shingle universe; per-doc
+    # sizes groupBy map-side-combines to ~n_docs shuffled rows
     sizes = sizes_src.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh_p.alias("a")
     b = sh_p.alias("b")
@@ -190,8 +208,9 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
     Output: verified near-duplicate pairs among LSH candidates. The
     (doc_id, shingle_hash) set feeds BOTH the signatures and the
     verification join — computed once and persisted (tokenize +
-    explode + distinct is the most expensive stage; generation-swapped
-    so repeated calls don't accumulate storage, ADVICE r2)."""
+    explode is the most expensive stage; generation-swapped so
+    repeated calls don't accumulate storage, ADVICE r2; the per-doc
+    distinct is exchange-free, see shingle_hashes)."""
     from ._cache import swap_persist
 
     sh = swap_persist("minhash_sh", shingle_hashes(docs, id_col, text_col, n))[0]

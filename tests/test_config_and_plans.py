@@ -192,6 +192,27 @@ class TestAnnDedupPlanShapes:
         assert "FlatMapGroupsInPandas" in plan
         assert "Join" not in plan
 
+    def test_shingle_hashes_has_no_exchange(self, spark):
+        """The per-doc shingle distinct is a map-side array_distinct:
+        the exploded shingle set — the widest table in every
+        fuzzy-dedup plan — must reach its consumer without its own
+        Exchange (the old global .distinct() shuffled it once before
+        the self-join's repartition shuffled it again), and the md5
+        hashing must stay on the exploded rows where it codegens
+        (inside a higher-order transform it is interpreted, measured
+        8× slower)."""
+        from gleaner_spark.operators.dedup import shingle_hashes
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e f")], "doc_id long, text string"
+        )
+        plan = shingle_hashes(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "array_distinct" in plan, plan
+        # md5 evaluated post-explode (top-level projection), not
+        # inside the transform lambda that builds the shingle array
+        assert "conv(substring(md5" in plan, plan
+
 
 class TestLakeSnapshotHygiene:
     def test_dataless_partitioned_append_is_not_published(self, spark, tmp_lake):
