@@ -55,18 +55,71 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "vec_id", qvec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query (self-match excluded).
-    Deterministic tie-break on neighbor id."""
+    Deterministic tie-break on neighbor id.
+
+    Shape: the bounded query set is collected into one numpy matrix
+    (it was a broadcast side already — same driver bound, documented
+    precondition); each base partition computes a single BLAS
+    sims block and emits only its LOCAL top-k per query, so the rank
+    window sees ≤ P×Q×k rows instead of Q×N (map-side top-k — the
+    global top-k of per-partition top-k lists is exact because the
+    (rounded cos desc, nbr_id asc) order is total). The old shape —
+    broadcast crossJoin + a higher-order-function cosine per pair —
+    evaluated ~5×dim interpreted lambda steps per pair; the matmul
+    is two orders of magnitude faster and Arrow ships each base
+    vector once per partition instead of once per pair."""
+    q_rows = (
+        queries.select(
+            F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("qv")
+        )
+        .collect()
+    )
+    if not q_rows:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, rank integer, cos double"
+        )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = _norm_rows(np.array([r["qv"] for r in q_rows], dtype=np.float64))
+    bc = embeddings.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    kk = k
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("nbr_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def part_topk(batches):
+        ids_q, qm = bc.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["nbr_id"].to_numpy(dtype=np.int64)
+            nm = _norm_rows(np.array(pdf["nv"].tolist(), dtype=np.float64))
+            # rounded sims for SELECTION (same 9-decimal trick as the
+            # rank window / the oracle's round(...,9) — near-tied
+            # cosines must not reorder between engines)
+            sims = np.round(qm @ nm.T, 9)
+            sims[ids_q[:, None] == nid[None, :]] = -np.inf  # self-match
+            take = min(kk, sims.shape[1])
+            # lexsort: primary rounded-cos desc, secondary nbr_id asc
+            order = np.lexsort((nid[None, :].repeat(nq, 0), -sims), axis=1)[:, :take]
+            rows = {
+                "query_id": np.repeat(ids_q, take),
+                "nbr_id": nid[order].ravel(),
+                "cos": np.take_along_axis(sims, order, axis=1).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[np.isfinite(out["cos"])]
+
     base = embeddings.select(
         F.col(id_col).alias("nbr_id"), _as_double(F.col(vec_col)).alias("nv")
     )
-    q = queries.select(
-        F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("qv")
-    )
-    scored = (
-        F.broadcast(q).crossJoin(base)
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .withColumn("cos", cosine_similarity(F.col("qv"), F.col("nv")))
-    )
+    scored = base.mapInPandas(part_topk, out_schema)
     w = _rank_window()
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -375,14 +428,68 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_centroids: int = 16,
     probed.count()  # materialize through the k-means cache…
     cached.unpersist()  # …then drop it (probed carries everything needed)
     base, probes = _salted_cells(probed, n_probe, max_cell_size)
-    scored = (
-        probes.join(base, ["cluster", "sub"])
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .withColumn("cos", cosine_similarity(F.col("qv"), F.col("nv")))
-    )
+    scored = _cell_rerank(probes, base, k)
     w = _rank_window()
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "cos")
+    )
+
+
+def _cell_rerank(probes: DataFrame, base: DataFrame, k: int) -> DataFrame:
+    """Per-cell exact rerank as a cogrouped BLAS kernel (same pattern
+    as the grid near-dup): each (cluster, sub) cell cogroups its probe
+    vectors against its members and computes ONE matmul, emitting only
+    the cell-local top-k per query — exact for the global top-k
+    because a global winner is a fortiori a winner within its own
+    cell, and a (query, nbr) pair lands in exactly one cell (the nbr's
+    home cell, one sub). The old shape — an equi-join producing every
+    candidate pair and a higher-order-function cosine per pair —
+    evaluated ~5×dim interpreted lambda steps per pair and pushed all
+    ~N×n_probe×cell_size rows through the rank window; this ships each
+    vector once per cell and windows ≤ N×n_probe×k rows. Sims are
+    rounded to 9 decimals for selection, matching the rank window and
+    the DuckDB oracle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("nbr_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "nbr_id": pd.Series(dtype="int64"),
+            "cos": pd.Series(dtype="float64"),
+        }
+    )
+
+    def rerank(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return empty
+        qid = left["query_id"].to_numpy(dtype=np.int64)
+        nid = right["nbr_id"].to_numpy(dtype=np.int64)
+        qm = _norm_rows(np.array(left["qv"].tolist(), dtype=np.float64))
+        nm = _norm_rows(np.array(right["nv"].tolist(), dtype=np.float64))
+        sims = np.round(qm @ nm.T, 9)
+        sims[qid[:, None] == nid[None, :]] = -np.inf  # self-match
+        take = min(k, sims.shape[1])
+        order = np.lexsort(
+            (np.broadcast_to(nid, sims.shape), -sims), axis=1
+        )[:, :take]
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qid, take),
+                "nbr_id": nid[order].ravel(),
+                "cos": np.take_along_axis(sims, order, axis=1).ravel(),
+            }
+        )
+        return out[np.isfinite(out["cos"])]
+
+    return (
+        probes.groupBy("cluster", "sub")
+        .cogroup(base.groupBy("cluster", "sub"))
+        .applyInPandas(rerank, out_schema)
     )
