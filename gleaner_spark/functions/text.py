@@ -81,16 +81,3 @@ def rolling_fingerprint(col) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % HASH_PRIME,
     )
-
-
-def cosine_similarity(a, b) -> Column:
-    """Sequential-fold cosine over two array<double> columns —
-    left-to-right summation matches DuckDB list_reduce for IEEE-exact
-    cross-engine results."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)

@@ -32,11 +32,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import cosine_similarity
-
-
 def _as_double(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+@F.pandas_udf(T.DoubleType())
+def _pair_cosine(qv: pd.Series, nv: pd.Series) -> pd.Series:
+    """Arrow-batched row-wise cosine over two vector columns, rounded
+    to 9 decimals like every ranking comparison in this module (the
+    sequential-fold higher-order-function cosine it replaced was
+    IEEE-exact vs DuckDB's list_reduce but interpreted per element —
+    ~5×dim lambda steps per pair, the hot path of a rerank)."""
+    qm = _norm_rows(np.array(qv.tolist(), dtype=np.float64))
+    nm = _norm_rows(np.array(nv.tolist(), dtype=np.float64))
+    return pd.Series(np.round(np.einsum("ij,ij->i", qm, nm), 9))
 
 
 def _rank_window():
@@ -213,7 +222,7 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 8,
         # by query_id — the rank window reuses it instead of adding a
         # fourth exchange
         .join(vecs.select(F.col("vid").alias("query_id"), F.col("v").alias("qv")), "query_id")
-        .withColumn("cos", cosine_similarity(F.col("qv"), F.col("nv")))
+        .withColumn("cos", _pair_cosine(F.col("qv"), F.col("nv")))
     )
     w = _rank_window()
     return (
