@@ -422,6 +422,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["multimodal_features"] = multimodal_features
 
+    # ---- dedup: connected components over a pair graph (large-star/
+    # small-star; the cluster-assignment stage after pair emission).
+    # Edge construction: two overlapping prefix keys, each emitting
+    # star edges (group min → member) — linear in docs, and the union
+    # of the two relations forms real transitive chains, so the oracle
+    # exercises multi-hop closure, not just group-by keys. ----
+    def dedup_components(spark, sf):
+        from gleaner_spark.operators.components import connected_components
+
+        d = _t(spark, sf, "documents")
+
+        def star_edges(key):
+            w = Window.partitionBy("k")
+            e = d.select("doc_id", key.alias("k")).withColumn(
+                "m", F.min("doc_id").over(w)
+            )
+            return e.filter(F.col("doc_id") != F.col("m")).select(
+                F.col("m").alias("id_a"), F.col("doc_id").alias("id_b")
+            )
+
+        pairs = star_edges(F.substring("text", 1, 8)).union(
+            star_edges(F.substring("text", 4, 8))
+        )
+        return connected_components(
+            pairs, nodes=d.select("doc_id"), node_col="doc_id"
+        ).select(F.col("id").alias("doc_id"), "component")
+    q["dedup_components"] = dedup_components
+
+    # ---- text: corpus vocabulary head (df-cap calibration) ----
+    def text_topk_ngrams(spark, sf):
+        return TX.topk_ngrams(_t(spark, sf, "documents"), n=3, k=100)
+    q["text_topk_ngrams"] = text_topk_ngrams
+
     return q
 
 
@@ -789,5 +822,39 @@ FROM m
         f"SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), hs), "
         f"(acc, x) -> (acc * 31 + x) % {P}) AS fingerprint FROM h"
     )
+
+    # connected components: DuckDB replays the same star-edge
+    # construction, then takes min-over-reachable via a recursive CTE
+    # (transitive closure — fine at oracle scale; Spark uses the
+    # O(log² n)-round star contraction instead)
+    o["dedup_components"] = """
+WITH RECURSIVE
+e1 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY substr(text, 1, 8)) AS m FROM documents),
+e2 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY substr(text, 4, 8)) AS m FROM documents),
+edges AS (
+  SELECT m AS u, doc_id AS v FROM e1 WHERE doc_id <> m
+  UNION
+  SELECT m, doc_id FROM e2 WHERE doc_id <> m),
+bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT b.v, reach.r FROM reach JOIN bidir b ON b.u = reach.id)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+    o["text_topk_ngrams"] = f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+shingles AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t)-2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END) AS s
+  FROM toks),
+d AS (SELECT DISTINCT doc_id, s FROM shingles)
+SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df
+FROM d GROUP BY s ORDER BY df DESC, ngram ASC LIMIT 100
+"""
 
     return o

@@ -56,9 +56,10 @@ def _ship_package(spark) -> None:
 
 def _dedup_main(argv: list[str]) -> int:
     """``python -m gleaner_spark dedup --lake <path>``: exact + LSH
-    near-dup over an already-harvested lake's documents (the
-    LLM-pipeline composition; plans/docdedup.py). Appends dup_exact /
-    dup_near snapshots and prints a JSON summary."""
+    near-dup + connected-component cluster assignment over an
+    already-harvested lake's documents (the LLM-pipeline composition;
+    plans/docdedup.py). Appends dup_exact / dup_near / dup_clusters
+    snapshots and prints a JSON summary."""
     ap = argparse.ArgumentParser(prog="gleaner_spark dedup")
     ap.add_argument("--lake", required=True, help="harvested lake root")
     ap.add_argument("--run-id", default=None)

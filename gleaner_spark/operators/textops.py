@@ -68,3 +68,30 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.col(id_col),
         X.rolling_fingerprint(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def topk_ngrams(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 3, k: int = 100) -> DataFrame:
+    """Corpus vocabulary stats: the k n-grams with the highest
+    document frequency (ties broken by n-gram text, so the cut is
+    deterministic). This is the calibration input for the df-capped
+    fuzzy dedup (``dedup.ngram_jaccard_pairs(max_shingle_df=...)``):
+    at 100 TB you pick the cap by looking at this histogram's head.
+
+    Scale shape: the per-doc distinct is a map-side ``array_distinct``
+    (zero exchanges, same trick as ``dedup.shingle_hashes``); the df
+    count is one hash-shuffle with map-side partial aggregation; the
+    final ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject
+    — per-partition top-k heaps merged on the driver, never a global
+    sort exchange."""
+    sh = docs.select(
+        F.explode(
+            F.array_distinct(X.word_shingles(F.col(text_col), n))
+        ).alias("ngram")
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("ngram"))
+        .limit(k)
+    )

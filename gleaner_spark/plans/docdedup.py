@@ -15,6 +15,12 @@ consume them as plain joins:
   Jaccard (operators/dedup.minhash_lsh_dedup) over the fixed JSON-LD
   text. Banded bucket join — never all-pairs — so the 100-TB shape is
   the LSH bucket histogram, not N².
+- ``dup_clusters``: the cluster-assignment stage — exact-group star
+  edges ∪ near pairs fed through large-star/small-star connected
+  components (operators/components.py), so transitivity holds (A~B,
+  B~C ⇒ one cluster) and every document gets (component, is_keeper).
+  A corpus build keeps ``is_keeper`` rows; that single filter IS the
+  dedup a training-data pipeline applies.
 
 ``doc_id`` is ``source_name + US + unique_id`` (US = 0x1f, a char no
 URL/identifier contains): the harvest invariant makes that pair the
@@ -28,9 +34,10 @@ beyond-reference LLM-data-pipeline surface (SURVEY §2.4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.components import dedup_clusters
 from ..operators.dedup import exact_duplicates, minhash_lsh_dedup
 from .lake import Lake
 
@@ -50,6 +57,20 @@ def split_doc_id(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _exact_star_edges(base: DataFrame) -> DataFrame:
+    """Linear member pairs for byte-identical groups: (group min →
+    member) star edges per content hash — the edge form the component
+    stage consumes (a clique would be quadratic in group size for the
+    same connectivity)."""
+    w = Window.partitionBy("k")
+    e = base.select("doc_id", F.md5("text").alias("k")).withColumn(
+        "m", F.min("doc_id").over(w)
+    )
+    return e.filter(F.col("doc_id") != F.col("m")).select(
+        F.col("m").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+
+
 def dedup_documents(
     docs: DataFrame,
     k: int = 16,
@@ -61,7 +82,10 @@ def dedup_documents(
     """(exact duplicate groups, verified near-dup pairs) over a
     documents-table DataFrame. Exact groups: (content_hash, keeper_id,
     n_dups>1). Near pairs: (id_a, id_b, inter, uni) with
-    inter/uni >= threshold_pct/100, id_a < id_b."""
+    inter/uni >= threshold_pct/100, id_a < id_b. Cluster assignment is
+    a separate eager stage — ``cluster_documents`` — fed from the
+    WRITTEN pair snapshot so the iterative component rounds never
+    recompute the LSH join."""
     base = docs.select(
         corpus_doc_id().alias("doc_id"), F.col("jsonld").alias("text")
     )
@@ -70,6 +94,20 @@ def dedup_documents(
         base, k=k, bands=bands, rows=rows, n=n, threshold_pct=threshold_pct
     )
     return exact, near
+
+
+def cluster_documents(docs: DataFrame, near_pairs: DataFrame) -> DataFrame:
+    """(id, component, is_keeper) per document: connected components
+    of exact-duplicate star edges ∪ near-dup pairs (iterative — runs
+    Spark jobs eagerly; pass the materialized ``dup_near`` snapshot,
+    not the unwritten logical plan)."""
+    base = docs.select(
+        corpus_doc_id().alias("doc_id"), F.col("jsonld").alias("text")
+    )
+    pairs = _exact_star_edges(base).unionByName(
+        near_pairs.select("id_a", "id_b")
+    )
+    return dedup_clusters(pairs, base.select("doc_id"), "doc_id")
 
 
 def run_corpus_dedup(
@@ -83,14 +121,16 @@ def run_corpus_dedup(
     threshold_pct: int = 80,
 ) -> dict:
     """Read the lake's documents, run both passes, append ``dup_exact``
-    and ``dup_near`` snapshots, return the summary counts the CLI
-    prints. Empty results still publish (flat 0-row parquet keeps the
-    schema; only dataless PARTITIONED snapshots are refused)."""
+    / ``dup_near`` / ``dup_clusters`` snapshots, return the summary
+    counts the CLI prints. Empty results still publish (flat 0-row
+    parquet keeps the schema; only dataless PARTITIONED snapshots are
+    refused)."""
     docs = lake.table("documents").read(spark)
     if docs is None:
         return {
             "run_id": run_id, "documents": 0, "exact_groups": 0,
             "exact_extra_copies": 0, "near_pairs": 0,
+            "clusters": 0, "duplicate_docs": 0,
         }
     exact, near = dedup_documents(
         docs, k=k, bands=bands, rows=rows, n=n, threshold_pct=threshold_pct
@@ -110,14 +150,33 @@ def run_corpus_dedup(
     n_groups = int(agg["g"]) if agg else 0
     extra = int(agg["x"] or 0) if agg else 0
     n_pairs = near_snap.count() if near_snap is not None else 0
+    # cluster stage consumes the WRITTEN near pairs (no LSH recompute)
+    near_pairs = (
+        near_snap.select("id_a", "id_b") if near_snap is not None
+        else spark.createDataFrame([], "id_a string, id_b string")
+    )
+    clusters = cluster_documents(docs, near_pairs)
+    clusters_entry = lake.table("dup_clusters").append(
+        split_doc_id(clusters, "id"), run_id=run_id
+    )
+    cl_snap = lake.table("dup_clusters").read_snapshot(spark, clusters_entry)
+    cagg = cl_snap.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("is_keeper"), 0).otherwise(1)).alias("d"),
+    ).collect()[0] if cl_snap is not None else None
+    n_docs_assigned = int(cagg["n"]) if cagg else 0
+    n_dup_docs = int(cagg["d"] or 0) if cagg else 0
     return {
         "run_id": run_id,
         "documents": docs.count(),
         "exact_groups": n_groups,
         "exact_extra_copies": int(extra or 0),
         "near_pairs": n_pairs,
+        "clusters": n_docs_assigned - n_dup_docs,
+        "duplicate_docs": n_dup_docs,
         "snapshots": {
             "dup_exact": exact_entry["snapshot_id"],
             "dup_near": near_entry["snapshot_id"],
+            "dup_clusters": clusters_entry["snapshot_id"],
         },
     }

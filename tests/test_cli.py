@@ -174,13 +174,53 @@ def test_cli_dedup_over_harvested_lake(spark, tmp_lake, tmp_path, capsys):
     for r in near.select("id_a", "id_b").limit(50).collect():
         assert r["id_a"] in all_ids and r["id_b"] in all_ids
 
+    # cluster assignment: one row per document, keepers = clusters,
+    # each mirrored doc is a non-keeper member of its original's
+    # cluster (transitive closure over exact ∪ near pairs)
+    clusters = lake.table("dup_clusters").read(spark)
+    assert clusters.count() == n_docs + 3
+    assert out["clusters"] + out["duplicate_docs"] == n_docs + 3
+    assert out["duplicate_docs"] >= 3
+    keepers = clusters.filter(F.col("is_keeper"))
+    assert keepers.count() == out["clusters"]
+    # every keeper labels itself; every member's component is a keeper id
+    assert keepers.filter(F.col("id") != F.col("component")).count() == 0
+    comp_ids = {r["component"] for r in clusters.select("component").distinct().collect()}
+    keeper_ids = {r["id"] for r in keepers.collect()}
+    assert comp_ids == keeper_ids
+    # the 3 mirrors cluster with their originals (same unique_id,
+    # source minus the "mirror-" prefix): transitivity puts both in
+    # one component, and the deterministic min-id rule crowns exactly
+    # one of them (the mirror, in fact — "mirror-…" sorts first)
+    mirror_rows = clusters.filter(F.col("id_source").startswith("mirror-"))
+    assert mirror_rows.count() == 3
+    paired = mirror_rows.select(
+        F.expr("substring(id_source, 8)").alias("src"),
+        F.col("id_unique_id").alias("uid"),
+        F.col("component").alias("m_comp"),
+        F.col("is_keeper").alias("m_keeper"),
+    ).join(
+        clusters.select(
+            F.col("id_source").alias("src"),
+            F.col("id_unique_id").alias("uid"),
+            F.col("component").alias("o_comp"),
+            F.col("is_keeper").alias("o_keeper"),
+        ),
+        ["src", "uid"],
+    ).collect()
+    assert len(paired) == 3
+    for r in paired:
+        assert r["m_comp"] == r["o_comp"]
+        assert not (r["m_keeper"] and r["o_keeper"])
+
 
 def test_cli_dedup_empty_lake(spark, tmp_path, capsys):
     rc = main(["dedup", "--lake", str(tmp_path / "nothing"), "--run-id", "dd-0"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"run_id": "dd-0", "documents": 0, "exact_groups": 0,
-                   "exact_extra_copies": 0, "near_pairs": 0}
+                   "exact_extra_copies": 0, "near_pairs": 0,
+                   "clusters": 0, "duplicate_docs": 0}
 
 
 def test_cli_vacuum_sweeps_orphans_only(tmp_path, capsys):
