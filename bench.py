@@ -438,6 +438,19 @@ def main() -> None:
                 samples[name].append(time.time() - t0)
         for name in suite:
             timings[name] = round(min(samples[name]), 3)
+        # round-5 additions measured OUTSIDE the headline sum: the
+        # suite list (and therefore "value") stays composition-stable
+        # across rounds; one gated draw each, reported separately
+        xq = {}
+        for name in ("dedup_components", "text_topk_ngrams"):
+            if name not in qs:
+                continue
+            if gate_on and dram_thresh:
+                query_gate_s += _wait_for_probe(dram_thresh, 20)
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            xq[name] = round(time.time() - t0, 3)
+        extra["extra_queries"] = xq
         extra["queries_median"] = {
             name: round(statistics.median(samples[name]), 3) for name in suite
         }
