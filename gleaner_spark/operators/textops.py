@@ -84,7 +84,9 @@ def topk_ngrams(docs: DataFrame, id_col: str = "doc_id",
     final ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject
     — per-partition top-k heaps merged on the driver, never a global
     sort exchange."""
-    sh = docs.select(
+    from .dedup import _ensure_parallelism
+
+    sh = _ensure_parallelism(docs.select(text_col)).select(
         F.explode(
             F.array_distinct(X.word_shingles(F.col(text_col), n))
         ).alias("ngram")
