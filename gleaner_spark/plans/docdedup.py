@@ -34,7 +34,7 @@ beyond-reference LLM-data-pipeline surface (SURVEY §2.4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.components import dedup_clusters
@@ -57,17 +57,22 @@ def split_doc_id(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _exact_star_edges(base: DataFrame) -> DataFrame:
-    """Linear member pairs for byte-identical groups: (group min →
-    member) star edges per content hash — the edge form the component
-    stage consumes (a clique would be quadratic in group size for the
-    same connectivity)."""
-    w = Window.partitionBy("k")
-    e = base.select("doc_id", F.md5("text").alias("k")).withColumn(
-        "m", F.min("doc_id").over(w)
-    )
-    return e.filter(F.col("doc_id") != F.col("m")).select(
-        F.col("m").alias("id_a"), F.col("doc_id").alias("id_b")
+def _exact_star_edges(base: DataFrame, exact_groups: DataFrame) -> DataFrame:
+    """Linear member pairs for byte-identical groups: (keeper →
+    member) star edges — the edge form the component stage consumes
+    (a clique would be quadratic in group size for the same
+    connectivity). Built by joining the WRITTEN ``dup_exact``
+    snapshot's (content_hash, keeper_id) back to the documents on the
+    recomputed hash: a plain hash-join, so a 10^6-copy boilerplate
+    group costs a join lookup per member, never the single-task
+    per-group window sort the unsalted ``min().over(partitionBy(k))``
+    shape would take (the same hole the frontier build removed)."""
+    g = exact_groups.select(F.col("content_hash").alias("k"), "keeper_id")
+    return (
+        base.select("doc_id", F.md5("text").alias("k"))
+        .join(g, "k")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select(F.col("keeper_id").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
 
 
@@ -96,15 +101,18 @@ def dedup_documents(
     return exact, near
 
 
-def cluster_documents(docs: DataFrame, near_pairs: DataFrame) -> DataFrame:
+def cluster_documents(
+    docs: DataFrame, exact_groups: DataFrame, near_pairs: DataFrame
+) -> DataFrame:
     """(id, component, is_keeper) per document: connected components
     of exact-duplicate star edges ∪ near-dup pairs (iterative — runs
-    Spark jobs eagerly; pass the materialized ``dup_near`` snapshot,
-    not the unwritten logical plan)."""
+    Spark jobs eagerly; pass the materialized ``dup_exact`` /
+    ``dup_near`` snapshots, not the unwritten logical plans, so the
+    component rounds never recompute the LSH join)."""
     base = docs.select(
         corpus_doc_id().alias("doc_id"), F.col("jsonld").alias("text")
     )
-    pairs = _exact_star_edges(base).unionByName(
+    pairs = _exact_star_edges(base, exact_groups).unionByName(
         near_pairs.select("id_a", "id_b")
     )
     return dedup_clusters(pairs, base.select("doc_id"), "doc_id")
@@ -150,12 +158,18 @@ def run_corpus_dedup(
     n_groups = int(agg["g"]) if agg else 0
     extra = int(agg["x"] or 0) if agg else 0
     n_pairs = near_snap.count() if near_snap is not None else 0
-    # cluster stage consumes the WRITTEN near pairs (no LSH recompute)
+    # cluster stage consumes the WRITTEN snapshots (no LSH recompute,
+    # no per-group window over the exact groups)
+    exact_groups = (
+        exact_snap.select("content_hash", "keeper_id")
+        if exact_snap is not None
+        else spark.createDataFrame([], "content_hash string, keeper_id string")
+    )
     near_pairs = (
         near_snap.select("id_a", "id_b") if near_snap is not None
         else spark.createDataFrame([], "id_a string, id_b string")
     )
-    clusters = cluster_documents(docs, near_pairs)
+    clusters = cluster_documents(docs, exact_groups, near_pairs)
     clusters_entry = lake.table("dup_clusters").append(
         split_doc_id(clusters, "id"), run_id=run_id
     )
