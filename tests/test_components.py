@@ -132,6 +132,22 @@ def test_nonconvergence_raises(spark):
         connected_components(_pairs_df(spark, edges), max_iter=1)
 
 
+def test_constraint_propagation_conf_restored(spark):
+    # the Catalyst UnionBase.rewriteConstraints workaround must not
+    # leak: the session conf comes back to its prior value whether the
+    # iteration succeeds or raises
+    from gleaner_spark.operators.components import _CONSTRAINT_PROP
+
+    spark.conf.set(_CONSTRAINT_PROP, "true")
+    connected_components(_pairs_df(spark, [(1, 2)]))
+    assert spark.conf.get(_CONSTRAINT_PROP) == "true"
+    with pytest.raises(RuntimeError):
+        connected_components(
+            _pairs_df(spark, [(i, i + 1) for i in range(31)]), max_iter=1
+        )
+    assert spark.conf.get(_CONSTRAINT_PROP) == "true"
+
+
 def test_string_ids_work(spark):
     # doc ids in the corpus plan are strings (source + US + unique_id)
     df = spark.createDataFrame(
