@@ -455,6 +455,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.topk_ngrams(_t(spark, sf, "documents"), n=3, k=100)
     q["text_topk_ngrams"] = text_topk_ngrams
 
+    # ---- text: CCNet-style boilerplate removal (df-capped unit
+    # pruning + in-order reassembly; unit = token on this corpus,
+    # unit = line on a real crawl) ----
+    def text_boilerplate(spark, sf):
+        return TX.remove_boilerplate(
+            _t(spark, sf, "documents"), max_df_frac=0.5
+        )
+    q["text_boilerplate"] = text_boilerplate
+
     return q
 
 
@@ -855,6 +864,31 @@ shingles AS (
 d AS (SELECT DISTINCT doc_id, s FROM shingles)
 SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df
 FROM d GROUP BY s ORDER BY df DESC, ngram ASC LIMIT 100
+"""
+
+    # boilerplate removal: same df > frac*N rule, reassembly via
+    # ORDER BY inside string_agg; LEFT JOIN keeps all-boilerplate
+    # documents with an empty clean_text
+    o["text_boilerplate"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+n AS (SELECT count(*) AS nd FROM t),
+units AS (
+  SELECT doc_id, u.pos AS pos, u.unit AS unit
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ls)),
+                                     i -> {'pos': i, 'unit': ls[i]})) AS u
+        FROM t)),
+df AS (
+  SELECT unit, count(*) AS d
+  FROM (SELECT DISTINCT doc_id, unit FROM units) GROUP BY unit),
+boiler AS (SELECT unit FROM df, n WHERE d > 0.5 * nd),
+kept AS (SELECT * FROM units WHERE unit NOT IN (SELECT unit FROM boiler)),
+agg AS (SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM t LEFT JOIN agg a USING (doc_id)
 """
 
     return o

@@ -442,7 +442,7 @@ def main() -> None:
         # suite list (and therefore "value") stays composition-stable
         # across rounds; one gated draw each, reported separately
         xq = {}
-        for name in ("dedup_components", "text_topk_ngrams"):
+        for name in ("dedup_components", "text_topk_ngrams", "text_boilerplate"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:

@@ -97,3 +97,73 @@ def topk_ngrams(docs: DataFrame, id_col: str = "doc_id",
         .orderBy(F.desc("df"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def remove_boilerplate(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", delimiter: str = " ",
+                       max_df_frac: float = 0.5) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: split each document
+    into units on ``delimiter``, drop every unit whose document
+    frequency exceeds ``max_df_frac`` of the corpus, reassemble the
+    survivors in original order. On real crawls the unit is the LINE
+    (``delimiter="\\n"`` — nav bars, cookie banners, footers); the
+    parameter exists because unit granularity is a corpus property,
+    not an algorithm property.
+
+    Returns (id, clean_text, n_kept) — one row per input document,
+    including documents whose every unit was boilerplate (empty
+    clean_text, n_kept = 0).
+
+    Scale shape (two exchanges, both on narrow rows):
+    1. df count: per-doc distinct is a map-side ``array_distinct``
+       (zero exchanges — same precondition as ``shingle_hashes``:
+       ``id_col`` unique per row), then ONE hash-shuffle with map-side
+       partial counts.
+    2. reassembly: ONE groupBy on ``id_col`` collecting (pos, unit)
+       structs — unavoidable (a document's units must co-locate to
+       rebuild it) and bounded per task by document size.
+    The boilerplate set is broadcast: a unit with df > frac·N appears
+    in > frac·N documents, so at most avg_units_per_doc / frac
+    distinct units can qualify — corpus-size-independent. The corpus
+    count rides a 1-row broadcast crossJoin so the plan stays lazy
+    (no driver-side count action)."""
+    import re as _re
+
+    from .dedup import _ensure_parallelism
+
+    # split takes a Java regex; the delimiter is a literal (escaped
+    # here) so split and array_join stay exact inverses
+    units_arr = F.split(F.col(text_col), _re.escape(delimiter), -1)
+    base = _ensure_parallelism(docs.select(id_col, text_col))
+    n_docs = base.agg(F.count("*").alias("nd"))
+    per_doc = base.select(F.explode(F.array_distinct(units_arr)).alias("unit"))
+    boiler = (
+        per_doc.groupBy("unit")
+        .agg(F.count("*").alias("d"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("d") > F.lit(max_df_frac) * F.col("nd"))
+        .select("unit")
+    )
+    units = base.select(
+        F.col(id_col), F.posexplode(units_arr).alias("pos", "unit")
+    )
+    kept = units.join(F.broadcast(boiler), "unit", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+            delimiter,
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return (
+        base.select(F.col(id_col).alias("id"))
+        .join(agg.withColumnRenamed(id_col, "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )

@@ -186,6 +186,51 @@ class TestTextOps:
         assert f1 == f2
         assert f1[0] == f1[1] and f1[0] != f1[4]
 
+    def test_remove_boilerplate(self, spark):
+        from gleaner_spark.operators.textops import remove_boilerplate
+
+        # 'nav' in 3/4 docs (df 0.75 > 0.5 drops it); 'rare'/'body'
+        # survive; doc 4 is ALL boilerplate; order must be preserved
+        df = spark.createDataFrame(
+            [
+                (1, "nav body rare nav tail"),
+                (2, "nav body"),
+                (3, "nav"),
+                (4, "solo words here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["id"]: (r["clean_text"], r["n_kept"])
+            for r in remove_boilerplate(df, max_df_frac=0.5).collect()
+        }
+        assert got[1] == ("body rare tail", 3)
+        assert got[2] == ("body", 1)
+        assert got[3] == ("", 0)  # all-boilerplate doc still present
+        assert got[4] == ("solo words here", 3)
+
+    def test_remove_boilerplate_line_mode(self, spark):
+        from gleaner_spark.operators.textops import remove_boilerplate
+
+        # the real-crawl shape: delimiter='\n', the cookie banner
+        # repeats across pages while content lines are unique
+        banner = "accept all cookies"
+        df = spark.createDataFrame(
+            [
+                (1, f"{banner}\nunique article one\nend one"),
+                (2, f"{banner}\nanother story two"),
+                (3, f"{banner}\nthird text"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["id"]: r["clean_text"]
+            for r in remove_boilerplate(df, delimiter="\n", max_df_frac=0.9).collect()
+        }
+        assert got[1] == "unique article one\nend one"
+        assert got[2] == "another story two"
+        assert got[3] == "third text"
+
 
 class TestSketch:
     def test_bloom_roundtrip(self, spark):
