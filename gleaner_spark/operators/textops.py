@@ -121,7 +121,13 @@ def remove_boilerplate(docs: DataFrame, id_col: str = "doc_id",
        partial counts.
     2. reassembly: ONE groupBy on ``id_col`` collecting (pos, unit)
        structs — unavoidable (a document's units must co-locate to
-       rebuild it) and bounded per task by document size.
+       rebuild it) and bounded per task by document size. Boilerplate
+       membership is a broadcast LEFT join marking rows, filtered
+       INSIDE the aggregate (``collect_list`` skips the NULLed-out
+       structs): every document — including all-boilerplate ones —
+       falls out of this single groupBy, so there is no corpus-wide
+       re-join to restore empty documents (an anti-join + left-join
+       formulation costs two more full-output exchanges at scale).
     The boilerplate set is broadcast: a unit with df > frac·N appears
     in > frac·N documents, so at most avg_units_per_doc / frac
     distinct units can qualify — corpus-size-independent. The corpus
@@ -147,23 +153,22 @@ def remove_boilerplate(docs: DataFrame, id_col: str = "doc_id",
     units = base.select(
         F.col(id_col), F.posexplode(units_arr).alias("pos", "unit")
     )
-    kept = units.join(F.broadcast(boiler), "unit", "left_anti")
-    agg = kept.groupBy(id_col).agg(
+    marked = units.join(
+        F.broadcast(boiler.withColumn("_boiler", F.lit(True))), "unit", "left"
+    )
+    keep = F.col("_boiler").isNull()
+    agg = marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "unit")))
+                ),
                 lambda s: s["unit"],
             ),
             delimiter,
         ).alias("clean_text"),
-        F.count("*").cast("long").alias("n_kept"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
     )
-    return (
-        base.select(F.col(id_col).alias("id"))
-        .join(agg.withColumnRenamed(id_col, "id"), "id", "left")
-        .select(
-            "id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-        )
+    return agg.select(
+        F.col(id_col).alias("id"), "clean_text", "n_kept"
     )
