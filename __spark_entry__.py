@@ -464,6 +464,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_boilerplate"] = text_boilerplate
 
+    # ---- corpus management: deterministic split + hash sample
+    # (membership a pure function of doc_id — re-sharding can never
+    # move documents across the train/test boundary) ----
+    def corpus_split(spark, sf):
+        from gleaner_spark.operators.sampling import assign_splits
+
+        return assign_splits(_t(spark, sf, "documents")).select(
+            "doc_id", "split"
+        )
+    q["corpus_split"] = corpus_split
+
+    def corpus_sample(spark, sf):
+        from gleaner_spark.operators.sampling import hash_sample
+
+        return hash_sample(_t(spark, sf, "documents"), 0.1).select("doc_id")
+    q["corpus_sample"] = corpus_sample
+
     return q
 
 
@@ -889,6 +906,23 @@ agg AS (SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS clean_text,
 SELECT t.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
        coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept
 FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+    # deterministic split/sample: DuckDB replays the 32-bit md5-prefix
+    # bucket with a hex cast (validated equal to Spark's conv(.,16,10))
+    _bucket = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+               "AS BIGINT)")
+    o["corpus_split"] = f"""
+WITH b AS (SELECT doc_id, {_bucket} % 100 AS bk FROM documents)
+SELECT doc_id,
+       CASE WHEN bk < 98 THEN 'train'
+            WHEN bk < 99 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+    o["corpus_sample"] = f"""
+SELECT doc_id FROM documents WHERE {_bucket} % 1000000 < 100000
 """
 
     return o

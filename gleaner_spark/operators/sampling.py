@@ -1,0 +1,74 @@
+"""Deterministic corpus splitting and sampling for training-data
+pipelines.
+
+Train/valid/test membership and downsampling must be REPRODUCIBLE: a
+document's assignment may depend only on its identity, never on
+partitioning, cluster size, or run order — otherwise a re-shard of a
+100 TB corpus silently moves documents across the train/test boundary
+(leakage). ``DataFrame.sample`` is per-partition pseudo-random and
+loses exactly that property; these operators derive the assignment
+from a stable hash of the document id instead.
+
+Scale shape: pure map-side column expressions — ZERO exchanges, no
+UDFs, whole-stage codegen; the split column composes with partition
+pruning when written as a partition key. The hash is the first 8 hex
+chars of md5 (32 bits — engine-portable: DuckDB replays it with a hex
+cast, so the driver's oracle verifies the exact assignment), which
+bounds modulo bias at < 2⁻²⁵ relative for mod ≤ 10⁶.
+
+Reference parity: beyond-reference (SURVEY §2.4) — the reference has
+no corpus-management stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(id_col: str, seed: str, mod: int) -> Column:
+    """Stable bucket in [0, mod) from the id (optionally salted by
+    ``seed`` so independent splits of one corpus decorrelate)."""
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod
+
+
+def assign_splits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 98), ("valid", 1), ("test", 1),
+    ),
+    seed: str = "",
+) -> DataFrame:
+    """Add a ``split`` column assigning each document to one named
+    split with the given integer percentages (must sum to 100).
+    Deterministic in (id, seed): disjoint, exhaustive, and identical
+    across runs, partitionings, and engines."""
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"split percentages must sum to 100, got {total}")
+    b = _bucket(id_col, seed, 100)
+    lab: Column | None = None
+    cum = 0
+    for name, pct in splits:
+        cum += pct
+        cond = b < cum
+        lab = F.when(cond, name) if lab is None else lab.when(cond, name)
+    return docs.withColumn("split", lab)
+
+
+def hash_sample(
+    docs: DataFrame,
+    frac: float,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash downsample: keeps the SAME
+    ~frac of documents every run (membership is a pure function of
+    (id, seed) — unlike ``DataFrame.sample``, which draws per
+    partition and changes under repartitioning)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    mod = 1_000_000
+    return docs.filter(_bucket(id_col, seed, mod) < int(round(frac * mod)))

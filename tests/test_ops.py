@@ -232,6 +232,56 @@ class TestTextOps:
         assert got[3] == "third text"
 
 
+class TestSampling:
+    def test_split_disjoint_exhaustive_deterministic(self, spark):
+        from gleaner_spark.operators.sampling import assign_splits
+
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in assign_splits(df).collect()}
+        b = {
+            r["doc_id"]: r["split"]
+            for r in assign_splits(df.repartition(13)).collect()
+        }
+        assert a == b  # membership survives re-sharding
+        assert set(a.values()) <= {"train", "valid", "test"}
+        assert len(a) == 1000
+        n_train = sum(1 for v in a.values() if v == "train")
+        assert n_train > 900  # ~98% of 1000
+
+    def test_split_seed_decorrelates(self, spark):
+        from gleaner_spark.operators.sampling import assign_splits
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"]
+             for r in assign_splits(df, splits=(("x", 50), ("y", 50))).collect()}
+        c = {r["doc_id"]: r["split"]
+             for r in assign_splits(df, splits=(("x", 50), ("y", 50)),
+                                    seed="s2").collect()}
+        moved = sum(1 for k in a if a[k] != c[k])
+        assert 100 < moved < 400  # ~half move under a new seed
+
+    def test_split_bad_weights_raise(self, spark):
+        import pytest as _pytest
+
+        from gleaner_spark.operators.sampling import assign_splits
+
+        df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        with _pytest.raises(ValueError, match="sum to 100"):
+            assign_splits(df, splits=(("a", 60), ("b", 60)))
+
+    def test_hash_sample_stable_and_nested(self, spark):
+        from gleaner_spark.operators.sampling import hash_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        s10 = {r["doc_id"] for r in hash_sample(df, 0.1).collect()}
+        s10b = {r["doc_id"] for r in hash_sample(df.repartition(7), 0.1).collect()}
+        assert s10 == s10b
+        # smaller fractions are SUBSETS of larger ones (same hash axis)
+        s05 = {r["doc_id"] for r in hash_sample(df, 0.05).collect()}
+        assert s05 <= s10
+        assert 100 < len(s10) < 320  # ~200 of 2000
+
+
 class TestSketch:
     def test_bloom_roundtrip(self, spark):
         from gleaner_spark.operators.sketch import BloomSketch, build_bloom, might_contain_udf
