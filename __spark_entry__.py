@@ -481,6 +481,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hash_sample(_t(spark, sf, "documents"), 0.1).select("doc_id")
     q["corpus_sample"] = corpus_sample
 
+    # ---- text: PII scrub (emails/IPv4 -> typed placeholders) ----
+    def text_redact(spark, sf):
+        return TX.redact_pii(_t(spark, sf, "documents")).select(
+            "doc_id", "redacted_text"
+        )
+    q["text_redact"] = text_redact
+
+    # ---- corpus reporting: multi-level rollup over (source, lang) ----
+    def corpus_rollup(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.rollup("source", "lang")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .select("source", "lang", "n_docs", "sum_chars")
+        )
+    q["corpus_rollup"] = corpus_rollup
+
     return q
 
 
@@ -923,6 +943,23 @@ FROM b
 
     o["corpus_sample"] = f"""
 SELECT doc_id FROM documents WHERE {_bucket} % 1000000 < 100000
+"""
+
+    # PII scrub: same backreference-free patterns under RE2 ('g' =
+    # replace all, Spark's regexp_replace default)
+    o["text_redact"] = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted_text
+FROM documents
+"""
+
+    o["corpus_rollup"] = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP (source, lang)
 """
 
     return o

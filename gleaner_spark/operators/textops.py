@@ -172,3 +172,22 @@ def remove_boilerplate(docs: DataFrame, id_col: str = "doc_id",
     return agg.select(
         F.col(id_col).alias("id"), "clean_text", "n_kept"
     )
+
+
+# Engine-portable PII patterns: no backreferences or lookarounds, so
+# Java regex (Spark) and RE2 (DuckDB oracle) match identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               out_col: str = "redacted_text") -> DataFrame:
+    """Mask emails and IPv4 addresses with typed placeholders — the
+    scrub pass a training-data pipeline runs before anything leaves
+    the raw zone. Pure ``regexp_replace`` column expressions
+    (whole-stage codegen, zero exchanges, no UDFs); patterns are
+    deliberately backreference-free so the DuckDB oracle replays them
+    byte-identically under RE2."""
+    red = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    return docs.withColumn(out_col, red)

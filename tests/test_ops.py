@@ -209,6 +209,39 @@ class TestTextOps:
         assert got[3] == ("", 0)  # all-boilerplate doc still present
         assert got[4] == ("solo words here", 3)
 
+    def test_redact_pii_masks_and_matches_duckdb(self, spark):
+        import duckdb
+
+        from gleaner_spark.operators.textops import redact_pii
+
+        texts = [
+            "contact john.doe+spam@sub.example.co.uk today",
+            "server at 192.168.0.1 and 10.0.0.255, port 80",
+            "no pii here at all",
+            "mixed: a@b.io then 8.8.8.8 done",
+            "not-an-ip 999.999 and half@domain (no tld)",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["redacted_text"] for r in redact_pii(df).collect()}
+        assert got[0] == "contact <EMAIL> today"
+        assert got[1] == "server at <IP> and <IP>, port 80"
+        assert got[2] == texts[2]
+        assert got[3] == "mixed: <EMAIL> then <IP> done"
+        # differential vs RE2 on strings that actually contain PII
+        # (the corpus oracle only proves the no-match path)
+        con = duckdb.connect()
+        for i, t in enumerate(texts):
+            want = con.sql(
+                r"""SELECT regexp_replace(regexp_replace($1,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')""",
+                params=[t],
+            ).fetchone()[0]
+            assert got[i] == want, (t, got[i], want)
+
     def test_remove_boilerplate_line_mode(self, spark):
         from gleaner_spark.operators.textops import remove_boilerplate
 
