@@ -501,6 +501,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["corpus_rollup"] = corpus_rollup
 
+    # ---- corpus management: concat-then-chunk sequence packing ----
+    def corpus_pack(spark, sf):
+        from gleaner_spark.operators.sampling import pack_sequences
+
+        return pack_sequences(
+            _t(spark, sf, "documents"), 4096, size_col="n_chars"
+        )
+    q["corpus_pack"] = corpus_pack
+
     return q
 
 
@@ -960,6 +969,17 @@ FROM documents
 SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP (source, lang)
+"""
+
+    o["corpus_pack"] = """
+SELECT source, doc_id,
+       CAST(floor(cb / 4096) AS BIGINT) AS seq_id,
+       CAST(cb % 4096 AS BIGINT) AS seq_offset
+FROM (SELECT source, doc_id,
+             coalesce(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM documents)
 """
 
     return o

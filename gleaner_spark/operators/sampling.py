@@ -72,3 +72,40 @@ def hash_sample(
         raise ValueError(f"frac must be in [0, 1], got {frac}")
     mod = 1_000_000
     return docs.filter(_bucket(id_col, seed, mod) < int(round(frac * mod)))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    part_col: str = "source",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are concatenated
+    in ``id_col`` order within each ``part_col`` shard and cut into
+    fixed-``capacity`` training sequences. Each document is labeled
+    with the sequence its first token lands in (``seq_id``) and its
+    offset there (``seq_offset``) — documents may straddle a boundary,
+    exactly like LLM-pretraining context-window packing (vs bin
+    packing, which wastes tail capacity and is order-unstable).
+
+    Scale shape: one cumulative-sum window per shard. The per-shard
+    ORDER BY is SEMANTIC here (packing is defined by document order),
+    so unlike the frontier's removed ordering windows it cannot be
+    salted away — at 100 TB you bound the sort by packing within
+    finer shards (source × date), which changes the shard key, not
+    this operator."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return docs.select(
+        F.col(part_col),
+        F.col(id_col),
+        F.floor(cum_before / capacity).cast("long").alias("seq_id"),
+        (cum_before % capacity).cast("long").alias("seq_offset"),
+    )

@@ -302,6 +302,28 @@ class TestSampling:
         with _pytest.raises(ValueError, match="sum to 100"):
             assign_splits(df, splits=(("a", 60), ("b", 60)))
 
+    def test_pack_sequences(self, spark):
+        from gleaner_spark.operators.sampling import pack_sequences
+
+        # one shard, sizes 3,4,5,2 with capacity 6: cum_before =
+        # 0,3,7,12 -> seqs 0,0,1,2 at offsets 0,3,1,0 (doc 2 straddles
+        # the 6-boundary and is labeled by where it STARTS)
+        df = spark.createDataFrame(
+            [(1, "s", 3), (2, "s", 4), (3, "s", 5), (4, "s", 2)],
+            "doc_id long, source string, n_tokens long",
+        )
+        got = {
+            r["doc_id"]: (r["seq_id"], r["seq_offset"])
+            for r in pack_sequences(df, 6).collect()
+        }
+        assert got == {1: (0, 0), 2: (0, 3), 3: (1, 1), 4: (2, 0)}
+        # partitioning-invariant (the window orders within shard)
+        got2 = {
+            r["doc_id"]: (r["seq_id"], r["seq_offset"])
+            for r in pack_sequences(df.repartition(5), 6).collect()
+        }
+        assert got2 == got
+
     def test_hash_sample_stable_and_nested(self, spark):
         from gleaner_spark.operators.sampling import hash_sample
 
