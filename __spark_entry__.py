@@ -427,7 +427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Edge construction: two overlapping prefix keys, each emitting
     # star edges (group min → member) — linear in docs, and the union
     # of the two relations forms real transitive chains, so the oracle
-    # exercises multi-hop closure, not just group-by keys. ----
+    # exercises multi-hop closure, not just group-by keys. The
+    # min-over-window here is ORACLE-REPLAY scaffolding (DuckDB mirrors
+    # it verbatim); the production cluster path builds its star edges
+    # by joining the written dup_exact snapshot instead
+    # (plans/docdedup.py:_exact_star_edges), with no per-group window
+    # sort. ----
     def dedup_components(spark, sf):
         from gleaner_spark.operators.components import connected_components
 

@@ -442,7 +442,9 @@ def main() -> None:
         # suite list (and therefore "value") stays composition-stable
         # across rounds; one gated draw each, reported separately
         xq = {}
-        for name in ("dedup_components", "text_topk_ngrams", "text_boilerplate"):
+        for name in ("dedup_components", "text_topk_ngrams", "text_boilerplate",
+                     "corpus_split", "corpus_sample", "corpus_pack",
+                     "text_redact", "corpus_rollup"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:
