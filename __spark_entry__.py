@@ -512,7 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_sequences(
             _t(spark, sf, "documents"), 4096, size_col="n_chars"
-        )
+        ).select("source", "doc_id", "seq_id", "seq_offset")
     q["corpus_pack"] = corpus_pack
 
     return q

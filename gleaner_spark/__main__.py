@@ -86,6 +86,35 @@ def _dedup_main(argv: list[str]) -> int:
     return 0
 
 
+def _corpus_main(argv: list[str]) -> int:
+    """``python -m gleaner_spark corpus --lake <path>``: build the
+    training corpus from a harvested lake — keeper filter from
+    dup_clusters (running the dedup plan first if absent), PII scrub,
+    deterministic split assignment, concat-then-chunk sequence packing
+    — and append it as a ``corpus`` snapshot (plans/corpus.py). Prints
+    a JSON summary."""
+    ap = argparse.ArgumentParser(prog="gleaner_spark corpus")
+    ap.add_argument("--lake", required=True, help="harvested lake root")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--capacity", type=int, default=4096,
+                    help="sequence capacity in chars (default 4096)")
+    ap.add_argument("--seed", default="", help="split-assignment salt")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from .plans.corpus import run_corpus_build
+
+    spark = build_session("gleaner-corpus", master=args.master)
+    _ship_package(spark)
+    out = run_corpus_build(
+        spark, Lake(args.lake),
+        run_id=args.run_id or f"corpus-{int(time.time())}",
+        capacity=args.capacity, seed=args.seed,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def _vacuum_main(argv: list[str]) -> int:
     """``python -m gleaner_spark vacuum --lake <path>``: delete
     snap-* data dirs no manifest references (left by drop_snapshot/
@@ -108,6 +137,8 @@ def main(argv: list[str] | None = None) -> int:
         argv = sys.argv[1:]
     if argv and argv[0] == "dedup":
         return _dedup_main(argv[1:])
+    if argv and argv[0] == "corpus":
+        return _corpus_main(argv[1:])
     if argv and argv[0] == "vacuum":
         return _vacuum_main(argv[1:])
     ap = argparse.ArgumentParser(prog="gleaner_spark")

@@ -103,9 +103,6 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return docs.select(
-        F.col(part_col),
-        F.col(id_col),
-        F.floor(cum_before / capacity).cast("long").alias("seq_id"),
-        (cum_before % capacity).cast("long").alias("seq_offset"),
-    )
+    return docs.withColumn(
+        "seq_id", F.floor(cum_before / capacity).cast("long")
+    ).withColumn("seq_offset", (cum_before % capacity).cast("long"))

@@ -1,0 +1,116 @@
+"""Training-corpus build over a harvested + deduplicated lake.
+
+The end state of the LLM-pipeline surface: one plan that takes the
+harvest's ``documents`` table from raw to training-ready —
+
+1. **keeper filter**: keep one document per duplicate cluster
+   (``dup_clusters.is_keeper`` from the dedup CLI — transitive over
+   exact ∪ near pairs, deterministic min-id winner);
+2. **PII scrub**: mask emails/IPv4 (operators/textops.redact_pii,
+   codegen regexp_replace);
+3. **split assignment**: deterministic train/valid/test from the
+   md5-prefix bucket of the doc id (operators/sampling.assign_splits
+   — re-sharding can never move a document across the boundary);
+4. **sequence packing**: concat-then-chunk context-window labels per
+   source shard (operators/sampling.pack_sequences).
+
+Everything after the keeper semi-join is a map-side column expression
+except the packing window; the output appends to the lake as a
+``corpus`` snapshot, so downstream trainers read one immutable table.
+
+Scale shape: one broadcast-or-shuffled semi-join on doc_id (keeper
+set), zero exchanges for scrub+split, one per-source window for
+packing (semantic order — see pack_sequences), then the sink's
+bounded-file clustering. No collects.
+
+Reference parity: beyond-reference (SURVEY §2.4); the reference stops
+at object storage (internal/summoner/acquire/acquire.go) and has no
+corpus stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import assign_splits, pack_sequences
+from ..operators.textops import redact_pii
+from .docdedup import corpus_doc_id, run_corpus_dedup, split_doc_id
+from .lake import Lake
+
+DEFAULT_SPLITS = (("train", 98), ("valid", 1), ("test", 1))
+
+
+def build_corpus(
+    docs: DataFrame,
+    clusters: DataFrame,
+    capacity: int = 4096,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    seed: str = "",
+) -> DataFrame:
+    """(doc_id, split, seq_id, seq_offset, text) for every keeper
+    document. ``clusters`` is the dup_clusters table (id, is_keeper)."""
+    keepers = clusters.filter(F.col("is_keeper")).select(F.col("id").alias("doc_id"))
+    base = docs.select(
+        corpus_doc_id().alias("doc_id"),
+        F.col("source_name"),
+        F.col("jsonld").alias("text"),
+    ).join(keepers, "doc_id", "semi")
+    scrubbed = redact_pii(base, text_col="text", out_col="text_clean").select(
+        "doc_id", "source_name", F.col("text_clean").alias("text")
+    )
+    with_split = assign_splits(scrubbed, id_col="doc_id", splits=splits, seed=seed)
+    packed = pack_sequences(
+        with_split.withColumn("n_chars", F.length("text").cast("long")),
+        capacity,
+        id_col="doc_id",
+        size_col="n_chars",
+        part_col="source_name",
+    )
+    return packed.select("doc_id", "split", "seq_id", "seq_offset", "text")
+
+
+def run_corpus_build(
+    spark: SparkSession,
+    lake: Lake,
+    run_id: str,
+    capacity: int = 4096,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    seed: str = "",
+) -> dict:
+    """Build and append the ``corpus`` snapshot. Runs the dedup plan
+    first when the lake has no ``dup_clusters`` table yet (one less
+    footgun; an existing cluster table is reused as-is so dedup and
+    corpus builds stay independently re-runnable)."""
+    docs = lake.table("documents").read(spark)
+    if docs is None:
+        return {"run_id": run_id, "documents": 0, "corpus_docs": 0,
+                "split_counts": {}, "sequences": 0}
+    clusters = lake.table("dup_clusters").read(spark)
+    if clusters is None:
+        run_corpus_dedup(spark, lake, run_id=f"{run_id}-dedup")
+        clusters = lake.table("dup_clusters").read(spark)
+    corpus = build_corpus(
+        docs, clusters, capacity=capacity, splits=splits, seed=seed
+    )
+    entry = lake.table("corpus").append(
+        split_doc_id(corpus, "doc_id"), run_id=run_id
+    )
+    snap = lake.table("corpus").read_snapshot(spark, entry)
+    agg = (
+        snap.groupBy("split").agg(
+            F.count("*").alias("n"),
+            F.max("seq_id").alias("mx"),
+        ).collect()
+        if snap is not None else []
+    )
+    split_counts = {r["split"]: int(r["n"]) for r in agg}
+    n_seqs = snap.select("seq_id").distinct().count() if snap is not None else 0
+    return {
+        "run_id": run_id,
+        "documents": docs.count(),
+        "corpus_docs": sum(split_counts.values()),
+        "split_counts": split_counts,
+        "sequences": n_seqs,
+        "snapshots": {"corpus": entry["snapshot_id"]},
+    }

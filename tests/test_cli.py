@@ -214,6 +214,58 @@ def test_cli_dedup_over_harvested_lake(spark, tmp_lake, tmp_path, capsys):
         assert not (r["m_keeper"] and r["o_keeper"])
 
 
+def test_cli_corpus_build_over_harvested_lake(spark, tmp_lake, tmp_path, capsys):
+    """The LLM-pipeline end state: harvest -> (auto-)dedup -> corpus.
+    Keeper filter, PII scrub, deterministic splits, sequence packing,
+    one immutable corpus snapshot."""
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.plans.lake import Lake
+
+    fx = _write_fixtures(spark, str(tmp_path), n=150)
+    rc = main([
+        "--cfg", fx["cfg"], "--pages", fx["pages"], "--seeds", fx["seeds"],
+        "--lake", tmp_lake, "--setup", "--run-id", "cb-h",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    lake = Lake(tmp_lake)
+    n_docs = lake.table("documents").read(spark).count()
+    # dup_clusters absent: the corpus CLI must run the dedup plan itself
+    assert lake.table("dup_clusters").read(spark) is None
+    rc = main(["corpus", "--lake", tmp_lake, "--run-id", "cb-1",
+               "--capacity", "512"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["run_id"] == "cb-1"
+    assert out["documents"] == n_docs
+    assert 0 < out["corpus_docs"] <= n_docs
+    assert sum(out["split_counts"].values()) == out["corpus_docs"]
+    assert set(out["split_counts"]) <= {"train", "valid", "test"}
+    assert out["sequences"] >= 1
+
+    corpus = lake.table("corpus").read(spark)
+    assert corpus.count() == out["corpus_docs"]
+    # keepers only: corpus ids are exactly the cluster keepers
+    keepers = lake.table("dup_clusters").read(spark).filter(F.col("is_keeper"))
+    assert corpus.count() == keepers.count()
+    # packing invariants: offsets within capacity, seq ids contiguous
+    # from 0 per source
+    assert corpus.filter(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= 512)
+    ).count() == 0
+    assert corpus.filter(F.col("seq_id") < 0).count() == 0
+    # a second corpus run reuses the existing clusters (independent
+    # re-runnability) and appends a second snapshot with equal counts
+    rc = main(["corpus", "--lake", tmp_lake, "--run-id", "cb-2",
+               "--capacity", "512"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["corpus_docs"] == out["corpus_docs"]
+    assert out2["split_counts"] == out["split_counts"]
+
+
 def test_cli_dedup_empty_lake(spark, tmp_path, capsys):
     rc = main(["dedup", "--lake", str(tmp_path / "nothing"), "--run-id", "dd-0"])
     assert rc == 0
