@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from gleaner_spark.functions import text as X
 from gleaner_spark.operators import ann as ANN
+from gleaner_spark.operators import decontam as DC
 from gleaner_spark.operators import dedup as DD
 from gleaner_spark.operators import textops as TX
 from gleaner_spark.operators.dedup import _perm_coeffs
@@ -492,6 +493,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "redacted_text"
         )
     q["text_redact"] = text_redact
+
+    # ---- decontamination: eval-set n-gram overlap, broadcast join ----
+    # deterministic in-corpus split stands in for an external benchmark
+    # set: doc_id % 50 == 0 (2%) is "eval", the rest "train"; n=4
+    # because the synthetic corpus is short-doc (operator default is
+    # the 13-gram convention).
+    def decontaminate(spark, sf):
+        d = _t(spark, sf, "documents")
+        ev = d.filter(F.col("doc_id") % 50 == 0)
+        tr = d.filter(F.col("doc_id") % 50 != 0)
+        return DC.contamination(tr, ev, id_col="doc_id",
+                                text_col="text", n=4)
+    q["decontaminate"] = decontaminate
 
     # ---- corpus reporting: multi-level rollup over (source, lang) ----
     def corpus_rollup(spark, sf):
@@ -968,6 +982,23 @@ SELECT doc_id,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted_text
 FROM documents
+"""
+
+    toks4 = TOKS_SQL.format(col="text")
+    o["decontaminate"] = f"""
+WITH toks AS (SELECT doc_id, {toks4} AS t FROM documents),
+shingles AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 4
+                THEN list_transform(generate_series(1, len(t)-3),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                ELSE [] END) AS s
+  FROM toks),
+d AS (SELECT DISTINCT doc_id, {H60_SQL.format(s='s')} AS sh FROM shingles),
+ev AS (SELECT DISTINCT sh FROM d WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, sh FROM d WHERE doc_id % 50 <> 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev USING (sh) GROUP BY doc_id
 """
 
     o["corpus_rollup"] = """

@@ -99,6 +99,13 @@ def _corpus_main(argv: list[str]) -> int:
     ap.add_argument("--capacity", type=int, default=4096,
                     help="sequence capacity in chars (default 4096)")
     ap.add_argument("--seed", default="", help="split-assignment salt")
+    ap.add_argument("--eval", dest="eval_path", default=None,
+                    help="parquet of benchmark docs (text column) to "
+                         "decontaminate against (broadcast n-gram "
+                         "semi-join; omit to skip)")
+    ap.add_argument("--decontam-n", type=int, default=13,
+                    help="decontamination n-gram width (default 13, "
+                         "the GPT-3/PaLM convention)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -110,6 +117,7 @@ def _corpus_main(argv: list[str]) -> int:
         spark, Lake(args.lake),
         run_id=args.run_id or f"corpus-{int(time.time())}",
         capacity=args.capacity, seed=args.seed,
+        eval_path=args.eval_path, decontam_n=args.decontam_n,
     )
     print(json.dumps(out))
     return 0

@@ -6,12 +6,16 @@ harvest's ``documents`` table from raw to training-ready —
 1. **keeper filter**: keep one document per duplicate cluster
    (``dup_clusters.is_keeper`` from the dedup CLI — transitive over
    exact ∪ near pairs, deterministic min-id winner);
-2. **PII scrub**: mask emails/IPv4 (operators/textops.redact_pii,
+2. **eval decontamination** (opt-in): drop documents sharing any
+   word n-gram with a held-out benchmark set
+   (operators/decontam.decontaminate — broadcast n-gram semi-join,
+   no train-side wide shuffle);
+3. **PII scrub**: mask emails/IPv4 (operators/textops.redact_pii,
    codegen regexp_replace);
-3. **split assignment**: deterministic train/valid/test from the
+4. **split assignment**: deterministic train/valid/test from the
    md5-prefix bucket of the doc id (operators/sampling.assign_splits
    — re-sharding can never move a document across the boundary);
-4. **sequence packing**: concat-then-chunk context-window labels per
+5. **sequence packing**: concat-then-chunk context-window labels per
    source shard (operators/sampling.pack_sequences).
 
 Everything after the keeper semi-join is a map-side column expression
@@ -33,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.decontam import DEFAULT_N, decontaminate
 from ..operators.sampling import assign_splits, pack_sequences
 from ..operators.textops import redact_pii
 from .docdedup import corpus_doc_id, run_corpus_dedup, split_doc_id
@@ -47,15 +52,23 @@ def build_corpus(
     capacity: int = 4096,
     splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
     seed: str = "",
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = DEFAULT_N,
 ) -> DataFrame:
     """(doc_id, split, seq_id, seq_offset, text) for every keeper
-    document. ``clusters`` is the dup_clusters table (id, is_keeper)."""
+    document. ``clusters`` is the dup_clusters table (id, is_keeper).
+    ``eval_docs`` (a DataFrame with a ``text`` column) opts in to
+    decontamination — runs on the RAW keeper text, before the PII
+    scrub, so masking can never hide a benchmark n-gram."""
     keepers = clusters.filter(F.col("is_keeper")).select(F.col("id").alias("doc_id"))
     base = docs.select(
         corpus_doc_id().alias("doc_id"),
         F.col("source_name"),
         F.col("jsonld").alias("text"),
     ).join(keepers, "doc_id", "semi")
+    if eval_docs is not None:
+        base = decontaminate(base, eval_docs, id_col="doc_id",
+                             text_col="text", n=decontam_n)
     scrubbed = redact_pii(base, text_col="text", out_col="text_clean").select(
         "doc_id", "source_name", F.col("text_clean").alias("text")
     )
@@ -77,6 +90,8 @@ def run_corpus_build(
     capacity: int = 4096,
     splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
     seed: str = "",
+    eval_path: str | None = None,
+    decontam_n: int = DEFAULT_N,
 ) -> dict:
     """Build and append the ``corpus`` snapshot. Runs the dedup plan
     first when the lake has no ``dup_clusters`` table yet (one less
@@ -90,8 +105,10 @@ def run_corpus_build(
     if clusters is None:
         run_corpus_dedup(spark, lake, run_id=f"{run_id}-dedup")
         clusters = lake.table("dup_clusters").read(spark)
+    eval_docs = spark.read.parquet(eval_path) if eval_path else None
     corpus = build_corpus(
-        docs, clusters, capacity=capacity, splits=splits, seed=seed
+        docs, clusters, capacity=capacity, splits=splits, seed=seed,
+        eval_docs=eval_docs, decontam_n=decontam_n,
     )
     entry = lake.table("corpus").append(
         split_doc_id(corpus, "doc_id"), run_id=run_id

@@ -1,0 +1,150 @@
+"""Eval-set decontamination (operators/decontam.py): planted-overlap
+semantics, per-doc distinct counting, min_hits, the broadcast plan
+shape, and the corpus-plan integration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gleaner_spark.operators.decontam import (
+    contamination,
+    decontaminate,
+    eval_ngram_hashes,
+)
+
+EVAL_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+]
+
+
+def _eval(spark):
+    return spark.createDataFrame([(t,) for t in EVAL_TEXTS], "text string")
+
+
+def _train(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),             # clean
+        (2, "xx the quick brown fox jumps yy"),                 # 2 hits
+        (3, "pack my box with five dozen liquor jugs indeed"),  # 5 hits
+        (4, "quick brown fox strolls calmly home tonight"),     # clean
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestContamination:
+    def test_planted_overlap_counts(self, spark):
+        hits = {
+            r["doc_id"]: r["n_hits"]
+            for r in contamination(_train(spark), _eval(spark), n=4).collect()
+        }
+        # doc 2 shares "the quick brown fox" and "quick brown fox
+        # jumps"; doc 3 shares all five 4-grams of the pangram it
+        # embeds; clean docs are ABSENT, not zero-rowed
+        assert hits == {2: 2, 3: 5}
+
+    def test_within_doc_repeats_count_once(self, spark):
+        train = spark.createDataFrame(
+            [(9, "the quick brown fox the quick brown fox")],
+            "doc_id long, text string",
+        )
+        hits = contamination(train, _eval(spark), n=4).collect()
+        # the repeated eval 4-gram is one DISTINCT hit (per-doc
+        # distinct in shingle_hashes), not two
+        assert [(r["doc_id"], r["n_hits"]) for r in hits] == [(9, 1)]
+
+    def test_shuffled_join_matches_broadcast(self, spark):
+        b = {(r["doc_id"], r["n_hits"]) for r in contamination(
+            _train(spark), _eval(spark), n=4, broadcast=True).collect()}
+        s = {(r["doc_id"], r["n_hits"]) for r in contamination(
+            _train(spark), _eval(spark), n=4, broadcast=False).collect()}
+        assert b == s
+
+    def test_short_docs_produce_no_ngrams(self, spark):
+        # eval docs shorter than n contribute nothing -> nothing drops
+        ev = spark.createDataFrame([("too short",)], "text string")
+        assert contamination(_train(spark), ev, n=4).count() == 0
+        assert decontaminate(_train(spark), ev, n=4).count() == 4
+
+
+class TestDecontaminate:
+    def test_drops_contaminated_keeps_clean(self, spark):
+        kept = {r["doc_id"] for r in
+                decontaminate(_train(spark), _eval(spark), n=4).collect()}
+        assert kept == {1, 4}
+
+    def test_min_hits_raises_the_bar(self, spark):
+        kept = {r["doc_id"] for r in decontaminate(
+            _train(spark), _eval(spark), n=4, min_hits=3).collect()}
+        # doc 2 (2 hits) survives a min_hits=3 bar; doc 3 (5) does not
+        assert kept == {1, 2, 4}
+
+
+class TestDecontamPlanShape:
+    def test_broadcast_join_no_train_side_exchange(self, spark):
+        """The train-side n-gram explosion — the widest intermediate —
+        must reach the join without an exchange: the only
+        hashpartitioning(sh) exchange in the plan is the EVAL
+        distinct's, and the join is broadcast, not sort-merge."""
+        plan = (
+            contamination(_train(spark), _eval(spark), n=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        import re
+
+        sh_exchanges = re.findall(r"Exchange hashpartitioning\(sh#", plan)
+        assert len(sh_exchanges) == 1, plan
+
+
+class TestCorpusIntegration:
+    def _docs_and_clusters(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("s0", "d1", "records of alpha beta gamma delta measurements"),
+                ("s0", "d2", "contains the quick brown fox jumps over text"),
+                ("s0", "d3", "third clean document body with enough tokens"),
+            ],
+            "source_name string, unique_id string, jsonld string",
+        )
+        clusters = spark.createDataFrame(
+            [("s0\x1fd1", True), ("s0\x1fd2", True), ("s0\x1fd3", True)],
+            "id string, is_keeper boolean",
+        )
+        return docs, clusters
+
+    def test_build_corpus_drops_contaminated_keeper(self, spark):
+        from gleaner_spark.plans.corpus import build_corpus
+
+        docs, clusters = self._docs_and_clusters(spark)
+        without = build_corpus(docs, clusters, capacity=512)
+        assert {r["doc_id"] for r in without.select("doc_id").collect()} == {
+            "s0\x1fd1", "s0\x1fd2", "s0\x1fd3"
+        }
+        with_eval = build_corpus(
+            docs, clusters, capacity=512,
+            eval_docs=_eval(spark), decontam_n=4,
+        )
+        assert {r["doc_id"] for r in with_eval.select("doc_id").collect()} == {
+            "s0\x1fd1", "s0\x1fd3"
+        }
+
+    def test_decontam_runs_before_pii_scrub(self, spark):
+        """An eval n-gram containing an email must still match the RAW
+        text (scrub order): if the scrub ran first, '<EMAIL>' would
+        break the n-gram and the leak would survive."""
+        from gleaner_spark.plans.corpus import build_corpus
+
+        docs = spark.createDataFrame(
+            [("s0", "d1", "contact us at bob@example.com for data access")],
+            "source_name string, unique_id string, jsonld string",
+        )
+        clusters = spark.createDataFrame(
+            [("s0\x1fd1", True)], "id string, is_keeper boolean"
+        )
+        ev = spark.createDataFrame(
+            [("contact us at bob@example.com for data",)], "text string"
+        )
+        out = build_corpus(docs, clusters, capacity=512,
+                           eval_docs=ev, decontam_n=4)
+        assert out.count() == 0
