@@ -379,6 +379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.fingerprints(_t(spark, sf, "documents"))
     q["text_fingerprint"] = text_fingerprint
 
+    # ---- text: Gopher repetition signals (integer counts) ----
+    def text_repetition(spark, sf):
+        return TX.repetition_stats(_t(spark, sf, "documents"))
+    q["text_repetition"] = text_repetition
+
     # ---- ANN: banded multi-table LSH (full oracle: the hyperplanes
     # are deterministic md5-parity literals, so DuckDB reproduces the
     # bucket assignment from the same shared plane table) ----
@@ -888,6 +893,33 @@ SELECT media_id, kind,
        array_to_string(list_transform(generate_series(1, 16),
           j -> CAST(CAST('0x' || substr(sha256(payload_hex), 2*j - 1, 2) AS INT) AS VARCHAR)), ',') AS feature_q
 FROM m
+"""
+
+    # Gopher repetition signals: list lambdas mirror the Spark HOFs
+    # exactly; counts stay integers so the hash compare is exact
+    o["text_repetition"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+g AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(generate_series(1, len(tk)-1),
+                                  i -> tk[i] || ' ' || tk[i+1])
+              ELSE [] END AS g2,
+         CASE WHEN len(tk) >= 3
+              THEN list_transform(generate_series(1, len(tk)-2),
+                                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+              ELSE [] END AS g3
+  FROM t)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_aggregate(list_transform(list_distinct(tk),
+              x -> len(list_filter(tk, e -> e = x))), 'max'), 0) AS BIGINT)
+         AS top_token_count,
+       CAST(len(g2) AS BIGINT) AS n_2grams,
+       CAST(len(list_distinct(g2)) AS BIGINT) AS uniq_2grams,
+       CAST(len(g3) AS BIGINT) AS n_3grams,
+       CAST(len(list_distinct(g3)) AS BIGINT) AS uniq_3grams
+FROM g
 """
 
     o["text_fingerprint"] = (

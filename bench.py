@@ -444,7 +444,8 @@ def main() -> None:
         xq = {}
         for name in ("dedup_components", "text_topk_ngrams", "text_boilerplate",
                      "corpus_split", "corpus_sample", "corpus_pack",
-                     "text_redact", "corpus_rollup", "decontaminate"):
+                     "text_redact", "corpus_rollup", "decontaminate",
+                     "text_repetition"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:

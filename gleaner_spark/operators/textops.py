@@ -70,6 +70,68 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.1: repetitious documents are low-quality): all INTEGER
+    counts so filters cross-multiply instead of comparing floats —
+
+    - ``n_tokens`` / ``top_token_count``: most-frequent-token share
+      (Gopher drops docs whose top token exceeds a fraction);
+    - ``n_2grams`` / ``uniq_2grams``, ``n_3grams`` / ``uniq_3grams``:
+      duplicate-n-gram share (1 - uniq/n is the Gopher dup fraction).
+
+    Scale shape: pure per-row column expressions over the row's own
+    token array — zero exchanges, no UDFs. The top-token scan is
+    O(distinct·n) per row but stays JVM-side; documents are bounded
+    (they fit in a row), so this never becomes a shuffle problem."""
+    toks = X.tokens(F.col(text_col))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda t: t == x)),
+        )
+    )
+    g2 = X.word_shingles(F.col(text_col), 2)
+    g3 = X.word_shingles(F.col(text_col), 3)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.coalesce(top, F.lit(0)).cast("long").alias("top_token_count"),
+        F.size(g2).cast("long").alias("n_2grams"),
+        F.size(F.array_distinct(g2)).cast("long").alias("uniq_2grams"),
+        F.size(g3).cast("long").alias("n_3grams"),
+        F.size(F.array_distinct(g3)).cast("long").alias("uniq_3grams"),
+    )
+
+
+def repetition_filter(docs: DataFrame, text_col: str = "text",
+                      max_top_token_pct: int = 20,
+                      min_uniq_2gram_pct: int = 50) -> DataFrame:
+    """Drop repetitious documents: keep rows whose most-frequent
+    token is ≤ ``max_top_token_pct``% of tokens AND whose distinct
+    2-grams are ≥ ``min_uniq_2gram_pct``% of 2-grams. Thresholds are
+    integer percents (cross-multiplied — no float comparisons).
+    Documents too short to have 2-grams pass the 2-gram bar (nothing
+    repeats in them)."""
+    toks = X.tokens(F.col(text_col))
+    top = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda x: F.size(F.filter(toks, lambda t: t == x)),
+            )
+        ),
+        F.lit(0),
+    )
+    g2 = X.word_shingles(F.col(text_col), 2)
+    keep = (top * 100 <= F.size(toks) * max_top_token_pct) & (
+        (F.size(g2) == 0)
+        | (F.size(F.array_distinct(g2)) * 100 >= F.size(g2) * min_uniq_2gram_pct)
+    )
+    return docs.filter(keep)
+
+
 def topk_ngrams(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", n: int = 3, k: int = 100) -> DataFrame:
     """Corpus vocabulary stats: the k n-grams with the highest

@@ -186,6 +186,51 @@ class TestTextOps:
         assert f1 == f2
         assert f1[0] == f1[1] and f1[0] != f1[4]
 
+    def test_repetition_stats(self, spark):
+        from gleaner_spark.operators.textops import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam ham"),      # top=4/5, dup 2-grams
+                (2, "all tokens here are distinct"),  # no repetition
+                (3, "ab ab ab"),                      # 2-gram 'ab ab' ×2
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert (got[1]["n_tokens"], got[1]["top_token_count"]) == (5, 4)
+        # "spam spam" appears 3× among 4 bigrams -> 2 distinct
+        assert (got[1]["n_2grams"], got[1]["uniq_2grams"]) == (4, 2)
+        assert (got[1]["n_3grams"], got[1]["uniq_3grams"]) == (3, 2)
+        assert (got[2]["top_token_count"], got[2]["uniq_2grams"]) == (1, 4)
+        assert (got[3]["n_2grams"], got[3]["uniq_2grams"]) == (2, 1)
+
+    def test_repetition_filter_and_plan(self, spark):
+        from gleaner_spark.operators.textops import repetition_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam ham"),
+                (2, "all tokens here are quite distinct indeed"),
+                (3, "xy"),  # 1 token = 100% top-token share: dropped
+            ],
+            "doc_id long, text string",
+        )
+        kept = {r["doc_id"] for r in
+                repetition_filter(df, max_top_token_pct=30).collect()}
+        assert kept == {2}
+        # a doc too short for 2-grams passes the 2-gram bar (nothing
+        # repeats) as long as its top-token share clears its own bar
+        one = spark.createDataFrame([(4, "xy")], "doc_id long, text string")
+        assert repetition_filter(one, max_top_token_pct=100).count() == 1
+        # pure per-row filter: no exchange, no UDF stage
+        plan = (
+            repetition_filter(df)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
     def test_remove_boilerplate(self, spark):
         from gleaner_spark.operators.textops import remove_boilerplate
 
