@@ -492,6 +492,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hash_sample(_t(spark, sf, "documents"), 0.1).select("doc_id")
     q["corpus_sample"] = corpus_sample
 
+    # ---- corpus mixing: per-source up/down-sampling to weights ----
+    def corpus_resample(spark, sf):
+        from gleaner_spark.operators.sampling import resample_sources
+
+        return resample_sources(
+            _t(spark, sf, "documents"), {"src0": 2.5, "src1": 0.25},
+        ).select("doc_id", "source", F.col("copy").cast("long").alias("copy"))
+    q["corpus_resample"] = corpus_resample
+
     # ---- text: PII scrub (emails/IPv4 -> typed placeholders) ----
     def text_redact(spark, sf):
         return TX.redact_pii(_t(spark, sf, "documents")).select(
@@ -1003,6 +1012,21 @@ FROM b
 
     o["corpus_sample"] = f"""
 SELECT doc_id FROM documents WHERE {_bucket} % 1000000 < 100000
+"""
+
+    # corpus mixing: floor(w) copies + one iff bucket < frac(w)·10^6
+    # (thresholds pre-rounded driver-side, same literals both engines)
+    o["corpus_resample"] = f"""
+WITH n AS (
+  SELECT doc_id, source,
+         CASE WHEN source = 'src0'
+                THEN 2 + CAST({_bucket} % 1000000 < 500000 AS INT)
+              WHEN source = 'src1'
+                THEN 0 + CAST({_bucket} % 1000000 < 250000 AS INT)
+              ELSE 1 END AS nc
+  FROM documents)
+SELECT doc_id, source, unnest(generate_series(0, nc - 1)) AS copy
+FROM n WHERE nc > 0
 """
 
     # PII scrub: same backreference-free patterns under RE2 ('g' =

@@ -445,7 +445,7 @@ def main() -> None:
         for name in ("dedup_components", "text_topk_ngrams", "text_boilerplate",
                      "corpus_split", "corpus_sample", "corpus_pack",
                      "text_redact", "corpus_rollup", "decontaminate",
-                     "text_repetition"):
+                     "text_repetition", "corpus_resample"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:

@@ -74,6 +74,65 @@ def hash_sample(
     return docs.filter(_bucket(id_col, seed, mod) < int(round(frac * mod)))
 
 
+def resample_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic corpus mixing: thin or replicate each source to a
+    target weight (the "2 epochs of Wikipedia, 0.3 of CommonCrawl"
+    knob every pretraining recipe has). A document from a source with
+    weight ``w`` gets ``floor(w)`` copies plus one more iff its hash
+    bucket falls below ``frac(w)`` — so the expected copy count is
+    exactly ``w``, and the copy count is a pure function of
+    (id, seed): re-runs, re-shards, and engines agree on which
+    documents the fractional part keeps. A 0-based ``copy`` column
+    disambiguates replicas downstream (epoch-local salts/seeds).
+
+    Scale shape: map-side only — a literal CASE over the source picks
+    the weight, ``explode(sequence(...))`` materializes copies. ZERO
+    exchanges, no UDFs; upsampled rows are born in the scan's own
+    partitions. Fractional thresholds are pre-rounded to integers in
+    the driver so both engines compare the same literals."""
+    mod = 1_000_000
+
+    def _parts(w: float) -> tuple[int, int]:
+        if w < 0:
+            raise ValueError(f"weights must be >= 0, got {w}")
+        base = int(w)
+        return base, int(round((w - base) * mod))
+
+    b = _bucket(id_col, seed, mod)
+
+    def _copies(w: float) -> Column:
+        base, thr = _parts(w)
+        return F.lit(base) + (b < thr).cast("int")
+
+    expr: Column | None = None
+    for src, w in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        expr = (
+            F.when(cond, _copies(w))
+            if expr is None
+            else expr.when(cond, _copies(w))
+        )
+    n = _copies(default_weight) if expr is None else expr.otherwise(
+        _copies(default_weight)
+    )
+    return (
+        docs.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "copy",
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int,

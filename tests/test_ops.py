@@ -347,6 +347,57 @@ class TestSampling:
         with _pytest.raises(ValueError, match="sum to 100"):
             assign_splits(df, splits=(("a", 60), ("b", 60)))
 
+    def test_resample_sources_integer_weights(self, spark):
+        from gleaner_spark.operators.sampling import resample_sources
+
+        df = spark.createDataFrame(
+            [(i, ["a", "b", "c"][i % 3]) for i in range(30)],
+            "doc_id long, source string",
+        )
+        out = resample_sources(df, {"a": 2.0, "b": 0.0}).collect()
+        got = {}
+        for r in out:
+            got.setdefault((r["doc_id"], r["source"]), []).append(r["copy"])
+        # a ×2 (copies 0,1), b dropped, c default ×1
+        for (doc_id, src), copies in got.items():
+            want = {"a": [0, 1], "c": [0]}[src]
+            assert sorted(copies) == want, (doc_id, src, copies)
+        assert all(src != "b" for _, src in got)
+        assert len(got) == 20  # 10 a-docs + 10 c-docs
+
+    def test_resample_sources_fractional_deterministic(self, spark):
+        from gleaner_spark.operators.sampling import resample_sources
+
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(1000)], "doc_id long, source string"
+        )
+        a = sorted(
+            (r["doc_id"], r["copy"])
+            for r in resample_sources(df, {"a": 1.5}).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["copy"])
+            for r in resample_sources(df.repartition(13), {"a": 1.5}).collect()
+        )
+        assert a == b  # copy membership survives re-sharding
+        assert 1400 < len(a) < 1600  # E = 1.5 per doc
+        # map-side only: no exchange, no UDF stage
+        plan = (
+            resample_sources(df, {"a": 1.5})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
+    def test_resample_sources_bad_weight_raises(self, spark):
+        import pytest as _pytest
+
+        from gleaner_spark.operators.sampling import resample_sources
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with _pytest.raises(ValueError, match=">= 0"):
+            resample_sources(df, {"a": -0.5}).collect()
+
     def test_pack_sequences(self, spark):
         from gleaner_spark.operators.sampling import pack_sequences
 
