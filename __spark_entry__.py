@@ -501,6 +501,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source", F.col("copy").cast("long").alias("copy"))
     q["corpus_resample"] = corpus_resample
 
+    # ---- corpus sampling: deterministic token budget (prefix by hash) ----
+    def corpus_token_budget(spark, sf):
+        from gleaner_spark.operators.sampling import sample_token_budget
+
+        return sample_token_budget(
+            _t(spark, sf, "documents"), budget=15_000
+        ).select("doc_id")
+    q["corpus_token_budget"] = corpus_token_budget
+
+    # ---- corpus: deterministic training-order shuffle into shards ----
+    def corpus_shuffle(spark, sf):
+        from gleaner_spark.operators.sampling import shuffle_shards
+
+        return shuffle_shards(_t(spark, sf, "documents"), n_shards=8).select(
+            "doc_id", "shard", "shard_pos"
+        )
+    q["corpus_shuffle"] = corpus_shuffle
+
     # ---- text: PII scrub (emails/IPv4 -> typed placeholders) ----
     def text_redact(spark, sf):
         return TX.redact_pii(_t(spark, sf, "documents")).select(
@@ -1027,6 +1045,38 @@ WITH n AS (
   FROM documents)
 SELECT doc_id, source, unnest(generate_series(0, nc - 1)) AS copy
 FROM n WHERE nc > 0
+"""
+
+    # token budget: maximal prefix in (bucket, id) order with
+    # cumulative whitespace-token count <= 15000 (ids are unique so
+    # the default RANGE frame equals ROWS; every doc tokenizes to >=1)
+    o["corpus_token_budget"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS ntok,
+         {_bucket} % 1000000 AS bk
+  FROM documents),
+c AS (
+  SELECT doc_id, SUM(ntok) OVER (ORDER BY bk, doc_id) AS cum FROM t)
+SELECT doc_id FROM c WHERE cum <= 15000
+"""
+
+    # training-order shuffle: shard + within-shard rank from two
+    # independently salted md5 buckets (doc_id breaks bucket ties)
+    _shard_b = ("CAST(('0x' || substr(md5('|shard' || CAST(doc_id AS "
+                "VARCHAR)), 1, 8)) AS BIGINT)")
+    _order_b = ("CAST(('0x' || substr(md5('|order' || CAST(doc_id AS "
+                "VARCHAR)), 1, 8)) AS BIGINT)")
+    o["corpus_shuffle"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(({_shard_b} % 1000000) % 8 AS INT) AS shard,
+         {_order_b} % 1000000 AS ord
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+            AS BIGINT) AS shard_pos
+FROM t
 """
 
     # PII scrub: same backreference-free patterns under RE2 ('g' =

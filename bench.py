@@ -445,7 +445,8 @@ def main() -> None:
         for name in ("dedup_components", "text_topk_ngrams", "text_boilerplate",
                      "corpus_split", "corpus_sample", "corpus_pack",
                      "text_redact", "corpus_rollup", "decontaminate",
-                     "text_repetition", "corpus_resample"):
+                     "text_repetition", "corpus_resample",
+                     "corpus_token_budget", "corpus_shuffle"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:

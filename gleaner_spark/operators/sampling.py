@@ -133,6 +133,127 @@ def resample_sources(
     )
 
 
+def sample_token_budget(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    seed: str = "",
+    n_blocks: int = 4096,
+) -> DataFrame:
+    """Deterministic token-budget sampling: keep the maximal PREFIX of
+    the corpus in hash order — ordered by (bucket(id, seed), id) —
+    whose cumulative token count stays ≤ ``budget``. "Give me exactly
+    20B tokens of this corpus" is the other sampling knob every
+    pretraining recipe has (``hash_sample`` fixes a document fraction;
+    this fixes the token mass). Prefix-by-hash keeps the two key
+    reproducibility properties: membership is a pure function of the
+    corpus content + (budget, seed) — never partitioning — and budgets
+    nest (the 10B-token sample is a subset of the 20B-token sample).
+
+    Scale shape — a distributed prefix sum, NOT a global sort: the
+    bucket space is cut into ``n_blocks`` contiguous blocks; pass 1
+    aggregates per-block token totals (one exchange of ≤ n_blocks tiny
+    rows, map-side partials) and the driver walks the ≤ n_blocks
+    prefix to find the boundary. Fully-kept blocks are a contiguous
+    prefix (offsets are monotone), so they come back as a map-side
+    range filter with ZERO further exchange; exactly ONE block can
+    straddle the budget, and only ITS rows (≈ corpus/n_blocks) take
+    the cumulative-sum window — the single-task sort is bounded by
+    construction, not by luck. Every document tokenizes to ≥ 1 token
+    (split of a trimmed string never returns an empty array), so no
+    zero-width row past the boundary can sneak back under the budget.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    from ..functions import text as X
+
+    mod = 1_000_000
+    width = -(-mod // n_blocks)
+    ntok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else X.token_count(F.col(text_col))
+    )
+    base = (
+        docs.withColumn("_tb_b", _bucket(id_col, seed, mod))
+        .withColumn("_tb_blk", (F.col("_tb_b") / width).cast("int"))
+        .withColumn("_tb_n", ntok)
+    )
+    totals = {
+        r["_tb_blk"]: r["t"]
+        for r in base.groupBy("_tb_blk").agg(F.sum("_tb_n").alias("t")).collect()
+    }
+    running = 0
+    last_full: int | None = None
+    partial: int | None = None
+    partial_offset = 0
+    for blk in sorted(totals):
+        t = int(totals[blk] or 0)
+        if running + t <= budget:
+            last_full = blk
+            running += t
+        else:
+            if running < budget:
+                partial, partial_offset = blk, running
+            break
+    parts = []
+    if last_full is not None:
+        parts.append(base.filter(F.col("_tb_blk") <= last_full))
+    if partial is not None:
+        w = Window.partitionBy("_tb_blk").orderBy("_tb_b", id_col)
+        parts.append(
+            base.filter(F.col("_tb_blk") == partial)
+            .withColumn("_tb_cum", F.sum("_tb_n").over(w))
+            .filter(F.col("_tb_cum") <= budget - partial_offset)
+            .drop("_tb_cum")
+        )
+    out = parts[0] if parts else base.filter(F.lit(False))
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("_tb_b", "_tb_blk", "_tb_n")
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every
+    document a ``shard`` in [0, n_shards) and a 0-based ``shard_pos``
+    within it, both pure functions of (id, seed, n_shards). Reading
+    shards round-robin by position replays ONE global pseudo-random
+    document order — reproducible across runs, partitionings, and
+    engines, unlike ``orderBy(rand())``. The shard hash and the
+    within-shard order hash are independently salted so position
+    within a shard never correlates with how ids landed in it.
+
+    Scale shape: a global shuffle is semantically a total order, but
+    materializing one ordered sequence is a single-task sort at 100
+    TB — sharding IS the standard fix (training data ships as 10^3-5
+    shard files consumed round-robin). One exchange on the shard key;
+    each shard sorts locally (n_shards-way parallel); written with
+    ``partitionBy("shard")`` the sort cost is bounded by corpus/
+    n_shards per task."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    shard = _bucket(id_col, seed + "|shard", 1_000_000) % n_shards
+    order = _bucket(id_col, seed + "|order", 1_000_000)
+    w = Window.partitionBy("shard").orderBy("_ord", id_col)
+    return (
+        docs.withColumn("shard", shard.cast("int"))
+        .withColumn("_ord", order)
+        .withColumn("shard_pos", F.row_number().over(w).cast("long") - 1)
+        .drop("_ord")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int,

@@ -347,6 +347,113 @@ class TestSampling:
         with _pytest.raises(ValueError, match="sum to 100"):
             assign_splits(df, splits=(("a", 60), ("b", 60)))
 
+    def test_token_budget_prefix_nesting_and_reshard(self, spark):
+        """Budget samples must NEST (the 2k-token sample ⊂ the
+        5k-token sample), be re-shard invariant, and equal the
+        brute-force prefix in (bucket, id) order."""
+        from gleaner_spark.operators.sampling import _bucket, sample_token_budget
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(1 + i % 17))) for i in range(400)],
+            "doc_id long, text string",
+        )
+        small = {r["doc_id"] for r in sample_token_budget(df, 2000).collect()}
+        big = {r["doc_id"] for r in sample_token_budget(df, 5000).collect()}
+        assert small < big
+        resharded = {
+            r["doc_id"]
+            for r in sample_token_budget(df.repartition(13), 5000).collect()
+        }
+        assert resharded == big
+        # brute-force prefix oracle
+        import pyspark.sql.functions as F
+
+        rows = df.select(
+            "doc_id", _bucket("doc_id", "", 1_000_000).alias("b"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+        ).collect()
+        want, cum = set(), 0
+        for r in sorted(rows, key=lambda r: (r["b"], r["doc_id"])):
+            cum += r["n"]
+            if cum > 5000:
+                break
+            want.add(r["doc_id"])
+        assert big == want
+
+    def test_token_budget_edges_and_plan(self, spark):
+        """budget 0 → empty; budget ≥ total → everything; negative
+        raises; the fully-kept-blocks side is a map-side range filter
+        (its plan has no Exchange and no window sort)."""
+        import pytest as _pytest
+
+        from gleaner_spark.operators.sampling import sample_token_budget
+
+        df = spark.createDataFrame(
+            [(i, "a b c") for i in range(100)], "doc_id long, text string"
+        )
+        assert sample_token_budget(df, 0).count() == 0
+        assert sample_token_budget(df, 300).count() == 100
+        assert sample_token_budget(df, 10**9).count() == 100
+        with _pytest.raises(ValueError, match=">= 0"):
+            sample_token_budget(df, -1)
+        # a budget cutting mid-corpus: the union's full-block branch
+        # must stay exchange-free (one Window allowed, on the single
+        # straddling block only)
+        plan = (
+            sample_token_budget(df, 150)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Window") <= 1, plan
+        # exchanges: at most the one feeding the boundary block's
+        # window — never a full-corpus sort
+        assert plan.count("Exchange") <= 1, plan
+
+    def test_shuffle_shards_deterministic_dense_decorrelated(self, spark):
+        """Shard + position reproduce under re-sharding; positions are
+        dense 0..k-1 per shard; the order is decorrelated from doc_id
+        (it's a shuffle, not a sort-by-id)."""
+        from gleaner_spark.operators.sampling import shuffle_shards
+
+        df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+        a = {(r["doc_id"]): (r["shard"], r["shard_pos"])
+             for r in shuffle_shards(df, 4).collect()}
+        b = {(r["doc_id"]): (r["shard"], r["shard_pos"])
+             for r in shuffle_shards(df.repartition(11), 4).collect()}
+        assert a == b
+        by_shard: dict[int, list[int]] = {}
+        for doc_id, (s, p) in a.items():
+            by_shard.setdefault(s, []).append(p)
+        assert set(by_shard) == {0, 1, 2, 3}
+        for s, ps in by_shard.items():
+            assert sorted(ps) == list(range(len(ps)))
+        # decorrelation: within shard 0, position order must not be
+        # doc_id order (a md5 shuffle of 70+ items sorting itself is
+        # astronomically unlikely)
+        s0 = sorted(
+            (p, d) for d, (s, p) in a.items() if s == 0
+        )
+        ids_in_order = [d for _, d in s0]
+        assert ids_in_order != sorted(ids_in_order)
+
+    def test_shuffle_shards_plan_and_edges(self, spark):
+        """One exchange (hash on shard), per-shard local sort — never
+        a global single-task ordering; n_shards=1 degenerates cleanly;
+        bad n_shards raises."""
+        import pytest as _pytest
+
+        from gleaner_spark.operators.sampling import shuffle_shards
+
+        df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+        out = shuffle_shards(df, 8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "hashpartitioning(shard" in plan, plan
+        one = shuffle_shards(df, 1).collect()
+        assert {r["shard"] for r in one} == {0}
+        assert sorted(r["shard_pos"] for r in one) == list(range(50))
+        with _pytest.raises(ValueError, match=">= 1"):
+            shuffle_shards(df, 0)
+
     def test_resample_sources_integer_weights(self, spark):
         from gleaner_spark.operators.sampling import resample_sources
 
