@@ -106,8 +106,28 @@ def _corpus_main(argv: list[str]) -> int:
     ap.add_argument("--decontam-n", type=int, default=13,
                     help="decontamination n-gram width (default 13, "
                          "the GPT-3/PaLM convention)")
+    ap.add_argument("--weights", default=None,
+                    help="per-source mixing weights 'srcA=2.5,srcB=0.3' "
+                         "(floor(w) copies + deterministic fractional "
+                         "keep; unlisted sources weight 1)")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="keep the maximal hash-order prefix of the "
+                         "mixed corpus with <= this many whitespace "
+                         "tokens")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="training-order shuffle: assign each packed "
+                         "sequence a (shard, shard_pos) over this many "
+                         "shards")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    weights = None
+    if args.weights:
+        weights = {}
+        for part in args.weights.split(","):
+            k, _, v = part.partition("=")
+            if not _ or not k:
+                ap.error(f"--weights entry {part!r} is not name=value")
+            weights[k.strip()] = float(v)
 
     from .plans.corpus import run_corpus_build
 
@@ -118,6 +138,8 @@ def _corpus_main(argv: list[str]) -> int:
         run_id=args.run_id or f"corpus-{int(time.time())}",
         capacity=args.capacity, seed=args.seed,
         eval_path=args.eval_path, decontam_n=args.decontam_n,
+        weights=weights, token_budget=args.token_budget,
+        n_shards=args.shards,
     )
     print(json.dumps(out))
     return 0

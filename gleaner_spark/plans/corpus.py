@@ -38,7 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.decontam import DEFAULT_N, decontaminate
-from ..operators.sampling import assign_splits, pack_sequences
+from ..operators.sampling import (
+    assign_splits,
+    pack_sequences,
+    resample_sources,
+    sample_token_budget,
+    shuffle_shards,
+)
 from ..operators.textops import redact_pii
 from .docdedup import corpus_doc_id, run_corpus_dedup, split_doc_id
 from .lake import Lake
@@ -54,12 +60,31 @@ def build_corpus(
     seed: str = "",
     eval_docs: DataFrame | None = None,
     decontam_n: int = DEFAULT_N,
+    weights: dict[str, float] | None = None,
+    token_budget: int | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
-    """(doc_id, split, seq_id, seq_offset, text) for every keeper
-    document. ``clusters`` is the dup_clusters table (id, is_keeper).
-    ``eval_docs`` (a DataFrame with a ``text`` column) opts in to
-    decontamination — runs on the RAW keeper text, before the PII
-    scrub, so masking can never hide a benchmark n-gram."""
+    """(doc_id, copy, split, seq_id, seq_offset, shard, shard_pos,
+    text) for every keeper document. ``clusters`` is the dup_clusters
+    table (id, is_keeper). ``eval_docs`` (a DataFrame with a ``text``
+    column) opts in to decontamination — runs on the RAW keeper text,
+    before the PII scrub, so masking can never hide a benchmark
+    n-gram. Three mixing knobs, all deterministic in (corpus, seed):
+
+    - ``weights``: per-source up/down-sampling (resample_sources);
+      replicas carry ``copy`` and a replica-distinct ``pack id`` so
+      packing order stays total, but split assignment keys on the
+      BASE doc_id — all copies of a document land in one split, so
+      upsampling can never leak a training document into test.
+    - ``token_budget``: keep the maximal hash-order prefix of the
+      MIXED corpus (post-decontam, so dropped tokens don't count)
+      whose whitespace-token mass ≤ budget.
+    - ``n_shards``: training-order shuffle at SEQUENCE granularity —
+      every row of a packed sequence shares (shard, shard_pos), so
+      shards can be consumed round-robin as whole context windows.
+      Off by default (shard=0, shard_pos NULL): the column set is
+      fixed so every ``corpus`` snapshot in a lake shares one schema.
+    """
     keepers = clusters.filter(F.col("is_keeper")).select(F.col("id").alias("doc_id"))
     base = docs.select(
         corpus_doc_id().alias("doc_id"),
@@ -69,18 +94,48 @@ def build_corpus(
     if eval_docs is not None:
         base = decontaminate(base, eval_docs, id_col="doc_id",
                              text_col="text", n=decontam_n)
+    if weights:
+        base = resample_sources(base, weights, source_col="source_name",
+                                id_col="doc_id", seed=seed)
+    else:
+        base = base.withColumn("copy", F.lit(0))
+    base = base.withColumn(
+        "pack_id", F.concat_ws("#", F.col("doc_id"), F.col("copy").cast("string"))
+    )
+    if token_budget is not None:
+        base = sample_token_budget(base, token_budget, id_col="pack_id",
+                                   text_col="text", seed=seed)
     scrubbed = redact_pii(base, text_col="text", out_col="text_clean").select(
-        "doc_id", "source_name", F.col("text_clean").alias("text")
+        "doc_id", "copy", "pack_id", "source_name",
+        F.col("text_clean").alias("text"),
     )
     with_split = assign_splits(scrubbed, id_col="doc_id", splits=splits, seed=seed)
     packed = pack_sequences(
         with_split.withColumn("n_chars", F.length("text").cast("long")),
         capacity,
-        id_col="doc_id",
+        id_col="pack_id",
         size_col="n_chars",
         part_col="source_name",
     )
-    return packed.select("doc_id", "split", "seq_id", "seq_offset", "text")
+    if n_shards:
+        seqs = (
+            packed.select("source_name", "seq_id").distinct()
+            .withColumn(
+                "_seq_key",
+                F.concat_ws("/", "source_name", F.col("seq_id").cast("string")),
+            )
+        )
+        sh = shuffle_shards(seqs, n_shards, id_col="_seq_key",
+                            seed=seed).drop("_seq_key")
+        packed = packed.join(sh, ["source_name", "seq_id"])
+    else:
+        packed = packed.withColumn("shard", F.lit(0)).withColumn(
+            "shard_pos", F.lit(None).cast("long")
+        )
+    return packed.select(
+        "doc_id", "copy", "split", "seq_id", "seq_offset",
+        "shard", "shard_pos", "text",
+    )
 
 
 def run_corpus_build(
@@ -92,6 +147,9 @@ def run_corpus_build(
     seed: str = "",
     eval_path: str | None = None,
     decontam_n: int = DEFAULT_N,
+    weights: dict[str, float] | None = None,
+    token_budget: int | None = None,
+    n_shards: int | None = None,
 ) -> dict:
     """Build and append the ``corpus`` snapshot. Runs the dedup plan
     first when the lake has no ``dup_clusters`` table yet (one less
@@ -109,6 +167,7 @@ def run_corpus_build(
     corpus = build_corpus(
         docs, clusters, capacity=capacity, splits=splits, seed=seed,
         eval_docs=eval_docs, decontam_n=decontam_n,
+        weights=weights, token_budget=token_budget, n_shards=n_shards,
     )
     entry = lake.table("corpus").append(
         split_doc_id(corpus, "doc_id"), run_id=run_id

@@ -266,6 +266,85 @@ def test_cli_corpus_build_over_harvested_lake(spark, tmp_lake, tmp_path, capsys)
     assert out2["split_counts"] == out["split_counts"]
 
 
+def test_cli_corpus_mixing_knobs(spark, tmp_lake, tmp_path, capsys):
+    """--weights / --token-budget / --shards compose over a harvested
+    lake: upweighted sources replicate with a copy column (all copies
+    in one split), the budget bounds the kept token mass, and every
+    packed sequence carries one dense (shard, shard_pos)."""
+    from pyspark.sql import functions as F
+
+    from gleaner_spark.plans.lake import Lake
+
+    fx = _write_fixtures(spark, str(tmp_path), n=120)
+    rc = main([
+        "--cfg", fx["cfg"], "--pages", fx["pages"], "--seeds", fx["seeds"],
+        "--lake", tmp_lake, "--setup", "--run-id", "mk-h",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    lake = Lake(tmp_lake)
+    src = corpus.build_sources()[0].name
+    t = lake.table("corpus")
+
+    def _run(extra):
+        rc = main(["corpus", "--lake", tmp_lake, "--capacity", "512",
+                   "--weights", f"{src}=2.0"] + extra)
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        sid = out["snapshots"]["corpus"]
+        [entry] = [s for s in t.snapshots() if s["snapshot_id"] == sid]
+        return out, t.read_snapshot(spark, entry)
+
+    out_a, snap_a = _run(["--run-id", "mk-1"])
+    # x2 weight: the weighted source's docs appear as copies {0, 1},
+    # every other doc exactly once as copy 0 — and a doc's copies
+    # never straddle splits
+    by_doc = (
+        snap_a.groupBy("doc_id", "doc_id_source")
+        .agg(F.sort_array(F.collect_list("copy")).alias("copies"),
+             F.countDistinct("split").alias("nsplits"))
+        .collect()
+    )
+    assert len(by_doc) > 0
+    for r in by_doc:
+        want = [0, 1] if r["doc_id_source"] == src else [0]
+        assert r["copies"] == want, (r["doc_id"], r["copies"])
+        assert r["nsplits"] == 1
+    ntok = F.size(F.split(F.trim("text"), r"\s+"))
+    total = snap_a.agg(F.sum(ntok).alias("t")).collect()[0]["t"]
+    assert total > 2
+
+    budget = int(total) // 2
+    out_b, snap_b = _run(["--run-id", "mk-2", "--token-budget",
+                          str(budget), "--shards", "3"])
+    kept = snap_b.agg(F.sum(ntok).alias("t")).collect()[0]["t"]
+    assert 0 < kept <= budget
+    assert out_b["corpus_docs"] < out_a["corpus_docs"]
+    # sequence-granular shuffle: one (shard, shard_pos) per sequence,
+    # positions dense per shard
+    seqs = (
+        snap_b.groupBy("doc_id_source", "seq_id")
+        .agg(F.countDistinct("shard").alias("ns"),
+             F.countDistinct("shard_pos").alias("np"),
+             F.first("shard").alias("shard"),
+             F.first("shard_pos").alias("shard_pos"))
+        .collect()
+    )
+    assert all(r["ns"] == 1 and r["np"] == 1 for r in seqs)
+    per_shard: dict[int, list[int]] = {}
+    for r in seqs:
+        per_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(per_shard) <= {0, 1, 2}
+    for ps in per_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # default path stays schema-compatible: no shards -> shard 0 /
+    # NULL position, copy present
+    assert snap_a.filter(F.col("shard") != 0).count() == 0
+    assert snap_a.filter(F.col("shard_pos").isNotNull()).count() == 0
+    assert set(snap_a.columns) == set(snap_b.columns)
+
+
 def test_cli_dedup_empty_lake(spark, tmp_path, capsys):
     rc = main(["dedup", "--lake", str(tmp_path / "nothing"), "--run-id", "dd-0"])
     assert rc == 0
