@@ -519,6 +519,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["corpus_shuffle"] = corpus_shuffle
 
+    # ---- crawl hygiene: URL scheme/host/word blocklist filter ----
+    # URLs synthesized deterministically from doc_id (no url column in
+    # the driver tables) so both engines build the identical input
+    def url_filter(spark, sf):
+        from gleaner_spark.operators.urlfilter import annotate_urls
+
+        d = _t(spark, sf, "documents")
+        hosts = F.array(
+            F.lit("news.example.org"), F.lit("ads.tracker.net"),
+            F.lit("blog.example.org"), F.lit("sub.ads.tracker.net"),
+            F.lit("shop.example.com"),
+        )
+        url = F.concat(
+            F.when(F.col("doc_id") % 11 == 0, F.lit("ftp")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.element_at(hosts, (F.col("doc_id") % 5 + 1).cast("int")),
+            F.lit("/"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("casino")).otherwise(F.lit("article")),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        )
+        return annotate_urls(
+            d.select("doc_id", url.alias("url")),
+            blocked_hosts=("ads.tracker.net",),
+            blocked_words=("casino",),
+        ).select("doc_id", "url", "url_block_reason")
+    q["url_filter"] = url_filter
+
     # ---- text: PII scrub (emails/IPv4 -> typed placeholders) ----
     def text_redact(spark, sf):
         return TX.redact_pii(_t(spark, sf, "documents")).select(
@@ -1077,6 +1105,35 @@ SELECT doc_id, shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
             AS BIGINT) AS shard_pos
 FROM t
+"""
+
+    # URL blocklist: same regexes + precedence (scheme > host > word);
+    # host blocks by exact-or-dot-suffix, words match the tail only
+    o["url_filter"] = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 11 = 0 THEN 'ftp' ELSE 'https' END)
+         || '://'
+         || (['news.example.org','ads.tracker.net','blog.example.org',
+              'sub.ads.tracker.net','shop.example.com'])[CAST(doc_id % 5 AS INT) + 1]
+         || '/'
+         || (CASE WHEN doc_id % 7 = 0 THEN 'casino' ELSE 'article' END)
+         || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+r AS (SELECT doc_id, url, lower(url) AS lu FROM u)
+SELECT doc_id, url,
+       CASE WHEN regexp_extract(lu, '^([a-z][a-z0-9+.-]*)://', 1)
+                 NOT IN ('http', 'https') THEN 'scheme'
+            WHEN regexp_extract(lu, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                 = 'ads.tracker.net'
+                 OR ends_with(
+                      regexp_extract(lu, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                      '.ads.tracker.net') THEN 'host'
+            WHEN contains(
+                   regexp_extract(lu, '^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$', 1),
+                   'casino') THEN 'word'
+            ELSE NULL END AS url_block_reason
+FROM r
 """
 
     # PII scrub: same backreference-free patterns under RE2 ('g' =

@@ -1325,3 +1325,55 @@ class TestStreamingOrderSalting:
             # source_name must be immediately followed by the block col
             if head[0].startswith("source_name"):
                 assert head[1].startswith("_blk"), plan
+
+
+class TestUrlFilter:
+    def _mk(self, spark, urls):
+        return spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+        )
+
+    def test_block_semantics_and_precedence(self, spark):
+        """Host blocks exact-or-dot-suffix only (no substring bleed);
+        words match the path/query tail, never the host; precedence is
+        scheme > host > word."""
+        from gleaner_spark.operators.urlfilter import annotate_urls, filter_urls
+
+        urls = [
+            "https://ok.example.com/article/1",          # pass
+            "https://ads.example/banner",                # host (exact)
+            "https://x.ads.example/banner",              # host (suffix)
+            "https://bads.example/article",              # pass: no substring bleed
+            "https://casino.example.com/news",           # pass: word not in host
+            "https://ok.example.com/casino/night",       # word
+            "ftp://ads.example/casino",                  # scheme wins precedence
+            "HTTPS://OK.example.com/Article",            # pass: case-folded
+            "https://ads.example/casino",                # host wins over word
+        ]
+        df = self._mk(spark, urls)
+        got = {
+            r["doc_id"]: r["url_block_reason"]
+            for r in annotate_urls(
+                df, blocked_hosts=("ads.example",), blocked_words=("casino",)
+            ).collect()
+        }
+        assert got == {0: None, 1: "host", 2: "host", 3: None, 4: None,
+                       5: "word", 6: "scheme", 7: None, 8: "host"}
+        kept = {r["doc_id"] for r in filter_urls(
+            df, blocked_hosts=("ads.example",), blocked_words=("casino",)
+        ).collect()}
+        assert kept == {0, 3, 4, 7}
+
+    def test_map_side_plan(self, spark):
+        """Pure column expressions: zero exchanges, no Python stage,
+        whole-stage codegen over the scan."""
+        from gleaner_spark.operators.urlfilter import filter_urls
+
+        df = self._mk(spark, [f"https://h{i}.example/p{i}" for i in range(20)])
+        plan = (
+            filter_urls(df, blocked_hosts=("a.b",), blocked_words=("w",))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "*(1)" in plan, plan
