@@ -185,6 +185,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rude", action="store_true", help="ignore robots.txt (resources.go:46-49)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--resume", action="store_true", help="skip phases already checkpointed for this run-id")
+    ap.add_argument("--block-hosts", default="",
+                    help="comma-separated host blocklist (exact or "
+                         "dot-suffix) applied to the frontier before "
+                         "politeness scheduling")
+    ap.add_argument("--block-words", default="",
+                    help="comma-separated path/query keyword blocklist "
+                         "for frontier URLs")
     ap.add_argument("--master", default=None, help="override master (default: spark-submit's)")
     args = ap.parse_args(argv)
 
@@ -224,10 +231,17 @@ def main(argv: list[str] | None = None) -> int:
         spark, lake, cfg, pages,
         seeds.get("sitemaps", {}), seeds.get("robots", {}),
         run_id=run_id, resume=args.resume,
+        url_blocked_hosts=tuple(
+            h.strip() for h in args.block_hosts.split(",") if h.strip()
+        ),
+        url_blocked_words=tuple(
+            w.strip() for w in args.block_words.split(",") if w.strip()
+        ),
     )
     print(json.dumps({
         "run_id": res.run_id,
         "frontier_size": res.frontier_size,
+        "urls_blocked": res.urls_blocked,
         "fetched": res.fetched,
         "extracted": res.extracted,
         "new_documents": res.new_documents,

@@ -36,6 +36,7 @@ class HarvestResult:
     frontier_size: int = 0
     fetched: int = 0
     extracted: int = 0
+    urls_blocked: int = 0
     errors: list[str] = field(default_factory=list)
     timings: dict = field(default_factory=dict)
 
@@ -61,6 +62,8 @@ def run_harvest(
     live_timeout_s: float = 30.0,
     live_keep_fetched: bool = False,
     live_renderer=None,
+    url_blocked_hosts: tuple[str, ...] = (),
+    url_blocked_words: tuple[str, ...] = (),
 ) -> HarvestResult:
     """``fetch_mode``: "pages" resolves S15 via the pages-table join
     (input_hint corpus path; ``pages`` required); "live" fetches the
@@ -125,6 +128,21 @@ def run_harvest(
             spark, sources, sitemap_bodies, robots_bodies, summoner, rude=rude
         )
         res.errors.extend(errors)
+        # opt-in URL blocklist (C4/RefinedWeb hygiene), applied BEFORE
+        # politeness scheduling so blocked URLs never consume a fetch
+        # lane or delay budget; map-side, so it fuses into the
+        # frontier stage. Defaults empty = reference-parity untouched.
+        bobs = None
+        if url_blocked_hosts or url_blocked_words:
+            from ..operators.urlfilter import filter_urls
+
+            bobs = Observation()
+            frontier = frontier.observe(bobs, F.count(F.lit(1)).alias("n"))
+            frontier = filter_urls(
+                frontier,
+                blocked_hosts=url_blocked_hosts,
+                blocked_words=url_blocked_words,
+            )
         frontier = schedule_fetches(frontier, scalable=True)
         # the row count rides the checkpoint write via an Observation —
         # no separate count job (small-cluster efficiency is made of
@@ -137,6 +155,8 @@ def run_harvest(
             run_id=run_id,
         )
         res.frontier_size = int(fobs.get["n"])
+        if bobs is not None:
+            res.urls_blocked = int(bobs.get["n"]) - res.frontier_size
         frontier = lake.table("frontier").read(spark)
         frontier = frontier.filter(F.col("run_id") == run_id).drop("run_id")
     res.timings["frontier"] = time.time() - t1

@@ -916,3 +916,51 @@ def test_documents_sink_file_bound_per_source(spark, tmp_lake, world):
     for d in glob.glob(os.path.join(psnap_dir, "source_name=*")):
         n = len(glob.glob(os.path.join(d, "*.parquet")))
         assert 1 <= n <= cfiles, f"{d}: {n} prov files > cfiles={cfiles}"
+
+
+def test_harvest_url_blocklist_prunes_frontier(spark, tmp_lake, world):
+    """Opt-in URL hygiene (C4/RefinedWeb pre-fetch blocklist): blocked
+    hosts/words never reach scheduling, fetching, or the sinks; the
+    blocked count is reported; defaults-empty runs are untouched (all
+    other pipeline tests pin that)."""
+    lake = Lake(tmp_lake)
+    res = run_harvest(
+        spark, lake, world["sources"], world["pages"],
+        world["sitemaps"], world["robots"],
+        summoner=SummonerConfig(threads=5, delay_ms=0),
+        run_id="ubl-1",
+        url_blocked_hosts=("geo1.example.org",),
+        url_blocked_words=("/api/",),
+    )
+    assert res.errors == []
+    assert res.urls_blocked > 0
+    frontier = (
+        lake.table("frontier").read(spark)
+        .filter(F.col("run_id") == "ubl-1")
+    )
+    assert frontier.count() == res.frontier_size
+    assert frontier.filter(F.col("url").contains("geo1.example.org")).count() == 0
+    assert frontier.filter(F.col("url").contains("/api/")).count() == 0
+    assert res.urls_blocked + res.frontier_size == _frontier_size_unblocked()
+    # nothing blocked leaks into the sinks
+    docs = lake.table("documents").read(spark)
+    assert docs.filter(F.col("source_name") == "src1").count() == 0
+    assert docs.filter(F.col("url").contains("/api/")).count() == 0
+
+
+def _frontier_size_unblocked() -> int:
+    """Pure-python oracle for the pre-blocklist frontier: sitemap locs
+    minus robots disallows, as build_frontier computes it."""
+    from gleaner_spark.core.robots import parse_robots_txt
+
+    robots = corpus.build_robots()
+    n = 0
+    for i in range(N_PAGES):
+        url = corpus.url_for(i)
+        body = robots.get(corpus.HOSTS[i % corpus.N_SOURCES])
+        if body is not None:
+            grp = parse_robots_txt(body).find_group("EarthCube_DataBot/1.0")
+            if grp is not None and not grp.test(url):
+                continue
+        n += 1
+    return n
