@@ -192,6 +192,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--block-words", default="",
                     help="comma-separated path/query keyword blocklist "
                          "for frontier URLs")
+    ap.add_argument("--max-urls-per-host", type=int, default=None,
+                    help="cap each host's frontier at its first N "
+                         "sitemap-order URLs (heavy-tail control)")
     ap.add_argument("--master", default=None, help="override master (default: spark-submit's)")
     args = ap.parse_args(argv)
 
@@ -237,11 +240,13 @@ def main(argv: list[str] | None = None) -> int:
         url_blocked_words=tuple(
             w.strip() for w in args.block_words.split(",") if w.strip()
         ),
+        max_urls_per_host=args.max_urls_per_host,
     )
     print(json.dumps({
         "run_id": res.run_id,
         "frontier_size": res.frontier_size,
         "urls_blocked": res.urls_blocked,
+        "urls_capped": res.urls_capped,
         "fetched": res.fetched,
         "extracted": res.extracted,
         "new_documents": res.new_documents,

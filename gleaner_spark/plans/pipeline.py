@@ -37,6 +37,7 @@ class HarvestResult:
     fetched: int = 0
     extracted: int = 0
     urls_blocked: int = 0
+    urls_capped: int = 0
     errors: list[str] = field(default_factory=list)
     timings: dict = field(default_factory=dict)
 
@@ -64,6 +65,7 @@ def run_harvest(
     live_renderer=None,
     url_blocked_hosts: tuple[str, ...] = (),
     url_blocked_words: tuple[str, ...] = (),
+    max_urls_per_host: int | None = None,
 ) -> HarvestResult:
     """``fetch_mode``: "pages" resolves S15 via the pages-table join
     (input_hint corpus path; ``pages`` required); "live" fetches the
@@ -144,6 +146,17 @@ def run_harvest(
                 blocked_words=url_blocked_words,
             )
         frontier = schedule_fetches(frontier, scalable=True)
+        # opt-in per-host URL cap (heavy-tail control at CC scale: a
+        # 50M-URL host would otherwise monopolize its lane's politeness
+        # budget for months). fetch_seq is the host's crawl-order rank,
+        # so the cap keeps exactly the FIRST N URLs in sitemap order —
+        # the same prefix the reference would have fetched when stopped
+        # at N — as a map-side filter on the already-computed rank.
+        cobs = None
+        if max_urls_per_host is not None:
+            cobs = Observation()
+            frontier = frontier.observe(cobs, F.count(F.lit(1)).alias("n"))
+            frontier = frontier.filter(F.col("fetch_seq") < max_urls_per_host)
         # the row count rides the checkpoint write via an Observation —
         # no separate count job (small-cluster efficiency is made of
         # removed fixed-cost jobs)
@@ -155,8 +168,11 @@ def run_harvest(
             run_id=run_id,
         )
         res.frontier_size = int(fobs.get["n"])
+        after_block = int(cobs.get["n"]) if cobs is not None else res.frontier_size
+        if cobs is not None:
+            res.urls_capped = after_block - res.frontier_size
         if bobs is not None:
-            res.urls_blocked = int(bobs.get["n"]) - res.frontier_size
+            res.urls_blocked = int(bobs.get["n"]) - after_block
         frontier = lake.table("frontier").read(spark)
         frontier = frontier.filter(F.col("run_id") == run_id).drop("run_id")
     res.timings["frontier"] = time.time() - t1

@@ -964,3 +964,59 @@ def _frontier_size_unblocked() -> int:
                 continue
         n += 1
     return n
+
+
+def test_harvest_per_host_cap_keeps_crawl_order_prefix(spark, tmp_lake, world):
+    """max_urls_per_host keeps exactly each host's FIRST N sitemap-
+    order URLs (the prefix the reference would have fetched when
+    stopped at N), reports the capped count, and composes with the
+    blocklist counters."""
+    lake = Lake(tmp_lake)
+    cap = 20
+    res = run_harvest(
+        spark, lake, world["sources"], world["pages"],
+        world["sitemaps"], world["robots"],
+        summoner=SummonerConfig(threads=5, delay_ms=0),
+        run_id="cap-1",
+        max_urls_per_host=cap,
+        url_blocked_words=("/api/",),
+    )
+    assert res.errors == []
+    assert res.urls_capped > 0 and res.urls_blocked > 0
+    frontier = (
+        lake.table("frontier").read(spark)
+        .filter(F.col("run_id") == "cap-1")
+    )
+    assert frontier.count() == res.frontier_size
+    per_host = frontier.groupBy("host").agg(
+        F.count("*").alias("n"), F.max("fetch_seq").alias("mx"),
+        F.min("fetch_seq").alias("mn"),
+    ).collect()
+    for r in per_host:
+        assert r["n"] <= cap
+        # a PREFIX of the rank space: 0..n-1, not an arbitrary subset
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1
+    # prefix semantics vs the python oracle: kept URLs per host are
+    # the first `cap` post-blocklist sitemap-order (position) entries
+    kept = {
+        r["host"]: sorted((r2["position"], r2["url"]) for r2 in rows)
+        for r, rows in (
+            (r, frontier.filter(F.col("host") == r["host"]).collect())
+            for r in per_host
+        )
+    }
+    from gleaner_spark.core.robots import parse_robots_txt
+    robots = corpus.build_robots()
+    want: dict[str, list] = {}
+    for i in range(N_PAGES):
+        url = corpus.url_for(i)
+        if "/api/" in url:
+            continue
+        body = robots.get(corpus.HOSTS[i % corpus.N_SOURCES])
+        if body is not None:
+            grp = parse_robots_txt(body).find_group("EarthCube_DataBot/1.0")
+            if grp is not None and not grp.test(url):
+                continue
+        want.setdefault(corpus.HOSTS[i % corpus.N_SOURCES], []).append(url)
+    for host, rows in kept.items():
+        assert [u for _, u in rows] == want[host][:cap], host
