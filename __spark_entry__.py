@@ -15,9 +15,10 @@ notes:
   are generated from the same Python constants for both engines.
 
 Pipeline-only stages (byte-identical extraction, politeness token
-bucket, bloom sketch) are pytest-verified; ``harvest_e2e`` and the
-LSH/multimodal scale paths are registered without oracles (rows-only
-check).
+bucket, bloom sketch) are pytest-verified; ``harvest_e2e`` is the
+only rows-only entry (the 3-phase pipeline is not SQL-expressible) —
+every other query, including the LSH/IVF/multimodal scale paths, has
+a full DuckDB oracle.
 """
 
 from __future__ import annotations
