@@ -69,6 +69,11 @@ def _dedup_main(argv: list[str]) -> int:
     ap.add_argument("--bands", type=int, default=4)
     ap.add_argument("--rows", type=int, default=4)
     ap.add_argument("--ngram", type=int, default=3)
+    ap.add_argument("--keeper", default="min_id",
+                    choices=("min_id", "quality"),
+                    help="cluster keeper rule: min_id (harvest-dedup "
+                         "parity) or quality (highest q_score member, "
+                         "ties -> min id)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -80,7 +85,7 @@ def _dedup_main(argv: list[str]) -> int:
         spark, Lake(args.lake),
         run_id=args.run_id or f"dedup-{int(time.time())}",
         k=args.minhash_k, bands=args.bands, rows=args.rows,
-        n=args.ngram, threshold_pct=args.threshold,
+        n=args.ngram, threshold_pct=args.threshold, keeper=args.keeper,
     )
     print(json.dumps(out))
     return 0

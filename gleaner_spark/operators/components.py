@@ -202,3 +202,44 @@ def dedup_clusters(
     return comp.select(
         "id", "component", (F.col("id") == F.col("component")).alias("is_keeper")
     )
+
+
+def reassign_keepers(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Re-pick each component's keeper by QUALITY instead of min-id:
+    keeper = the member with the highest ``score_col`` (ties broken by
+    min id, so the choice stays deterministic and engine-portable).
+    Min-id keeps an *arbitrary* copy; when near-dup clusters mix a
+    clean page with a boilerplate-wrapped mirror, a corpus build wants
+    the best one — the standard "keep the highest-quality member"
+    rule of training-data dedup.
+
+    Scale shape: one groupBy(component) with a map-side-partial
+    ``min_by`` over (-score, id) — never a per-component window sort —
+    plus one join back on component. Missing scores rank lowest (a
+    scoreless doc never beats a scored one)."""
+    sc = scores.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(score_col).cast("double"),
+                   F.lit(float("-inf"))).alias("_kq"),
+    )
+    joined = clusters.select("id", "component").join(sc, "id", "left").fillna(
+        {"_kq": float("-inf")}
+    )
+    best = joined.groupBy("component").agg(
+        F.min_by(
+            "id", F.struct((-F.col("_kq")).alias("s"), F.col("id").alias("i"))
+        ).alias("_keeper")
+    )
+    return (
+        clusters.select("id", "component")
+        .join(best, "component")
+        .select(
+            "id", "component",
+            (F.col("id") == F.col("_keeper")).alias("is_keeper"),
+        )
+    )

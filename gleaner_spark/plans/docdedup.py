@@ -102,20 +102,39 @@ def dedup_documents(
 
 
 def cluster_documents(
-    docs: DataFrame, exact_groups: DataFrame, near_pairs: DataFrame
+    docs: DataFrame, exact_groups: DataFrame, near_pairs: DataFrame,
+    keeper: str = "min_id",
 ) -> DataFrame:
     """(id, component, is_keeper) per document: connected components
     of exact-duplicate star edges ∪ near-dup pairs (iterative — runs
     Spark jobs eagerly; pass the materialized ``dup_exact`` /
     ``dup_near`` snapshots, not the unwritten logical plans, so the
-    component rounds never recompute the LSH join)."""
+    component rounds never recompute the LSH join).
+
+    ``keeper``: "min_id" (the harvest dedup's deterministic-winner
+    rule) or "quality" — re-pick each component's keeper as its
+    highest ``q_score`` member (operators/textops.quality_scores over
+    the stored JSON-LD; ties → min id), the keep-the-best-copy rule a
+    training-data build wants when a cluster mixes a clean page with
+    a boilerplate-wrapped mirror."""
     base = docs.select(
         corpus_doc_id().alias("doc_id"), F.col("jsonld").alias("text")
     )
     pairs = _exact_star_edges(base, exact_groups).unionByName(
         near_pairs.select("id_a", "id_b")
     )
-    return dedup_clusters(pairs, base.select("doc_id"), "doc_id")
+    clusters = dedup_clusters(pairs, base.select("doc_id"), "doc_id")
+    if keeper == "quality":
+        from ..operators.components import reassign_keepers
+        from ..operators.textops import quality_scores
+
+        scores = quality_scores(base, text_col="text").select(
+            F.col("doc_id").alias("id"), "q_score"
+        )
+        clusters = reassign_keepers(clusters, scores, score_col="q_score")
+    elif keeper != "min_id":
+        raise ValueError(f"keeper must be 'min_id' or 'quality', got {keeper!r}")
+    return clusters
 
 
 def run_corpus_dedup(
@@ -127,6 +146,7 @@ def run_corpus_dedup(
     rows: int = 4,
     n: int = 3,
     threshold_pct: int = 80,
+    keeper: str = "min_id",
 ) -> dict:
     """Read the lake's documents, run both passes, append ``dup_exact``
     / ``dup_near`` / ``dup_clusters`` snapshots, return the summary
@@ -169,7 +189,7 @@ def run_corpus_dedup(
         near_snap.select("id_a", "id_b") if near_snap is not None
         else spark.createDataFrame([], "id_a string, id_b string")
     )
-    clusters = cluster_documents(docs, exact_groups, near_pairs)
+    clusters = cluster_documents(docs, exact_groups, near_pairs, keeper=keeper)
     clusters_entry = lake.table("dup_clusters").append(
         split_doc_id(clusters, "id"), run_id=run_id
     )

@@ -155,3 +155,108 @@ def test_string_ids_work(spark):
     )
     got = _result_map(connected_components(df))
     assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+class TestQualityKeeper:
+    def test_reassign_keepers_argmax_with_ties_and_missing(self, spark):
+        """keeper = highest score per component; ties -> min id;
+        missing scores never beat scored members; exactly one keeper
+        per component."""
+        from gleaner_spark.operators.components import reassign_keepers
+
+        clusters = spark.createDataFrame(
+            [("a", "a"), ("b", "a"), ("c", "a"),
+             ("d", "d"), ("e", "d"),
+             ("f", "f")],
+            "id string, component string",
+        )
+        scores = spark.createDataFrame(
+            [("a", 10.0), ("b", 99.0), ("c", 50.0),
+             ("d", 7.0), ("e", 7.0)],  # tie -> d; f unscored
+            "id string, score double",
+        )
+        got = {r["id"]: r["is_keeper"]
+               for r in reassign_keepers(clusters, scores).collect()}
+        assert got == {"a": False, "b": True, "c": False,
+                       "d": True, "e": False, "f": True}
+
+    def test_reassign_keepers_plan_no_window(self, spark):
+        """One aggregation with map-side partials (min_by), never a
+        per-component window sort."""
+        from gleaner_spark.operators.components import reassign_keepers
+
+        clusters = spark.createDataFrame(
+            [(str(i), str(i % 5)) for i in range(50)],
+            "id string, component string",
+        )
+        scores = spark.createDataFrame(
+            [(str(i), float(i)) for i in range(50)], "id string, score double"
+        )
+        plan = (
+            reassign_keepers(clusters, scores)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan, plan
+        assert "partial_min_by" in plan, plan
+
+    def test_cluster_documents_quality_keeper(self, spark):
+        """End-to-end through the docdedup plan: with keeper='quality'
+        each cluster keeps its highest-q_score member; keeper counts
+        per component stay exactly one."""
+        from pyspark.sql import functions as F
+
+        from gleaner_spark.operators.textops import quality_scores
+        from gleaner_spark.plans.docdedup import (
+            DOC_ID_SEP,
+            cluster_documents,
+            corpus_doc_id,
+        )
+
+        # two near-identical docs (LSH-free: feed the pair directly),
+        # one with richer text -> higher q_score
+        docs = spark.createDataFrame(
+            [
+                ("s", "u1", "the quick brown fox jumps over the lazy dog"),
+                ("s", "u2", "the quick brown fox jumps over the lazy dog and keeps going with many more quality words in it"),
+                ("s", "u3", "unrelated content entirely"),
+            ],
+            "source_name string, unique_id string, jsonld string",
+        )
+        exact_groups = spark.createDataFrame(
+            [], "content_hash string, keeper_id string"
+        )
+        pairs = spark.createDataFrame(
+            [(f"s{DOC_ID_SEP}u1", f"s{DOC_ID_SEP}u2")], "id_a string, id_b string"
+        )
+        out = cluster_documents(docs, exact_groups, pairs, keeper="quality")
+        rows = {r["id"]: r for r in out.collect()}
+        assert len(rows) == 3
+        comp = rows[f"s{DOC_ID_SEP}u1"]["component"]
+        assert rows[f"s{DOC_ID_SEP}u2"]["component"] == comp
+        # the longer (higher q_score) doc wins even though u1 < u2
+        q = {
+            r["doc_id"]: r["q_score"]
+            for r in quality_scores(
+                docs.select(corpus_doc_id().alias("doc_id"),
+                            F.col("jsonld").alias("text")),
+                text_col="text",
+            ).collect()
+        }
+        assert q[f"s{DOC_ID_SEP}u2"] > q[f"s{DOC_ID_SEP}u1"]
+        assert rows[f"s{DOC_ID_SEP}u2"]["is_keeper"]
+        assert not rows[f"s{DOC_ID_SEP}u1"]["is_keeper"]
+        assert rows[f"s{DOC_ID_SEP}u3"]["is_keeper"]  # singleton keeps itself
+
+    def test_cluster_documents_bad_keeper_raises(self, spark):
+        import pytest as _pytest
+
+        from gleaner_spark.plans.docdedup import cluster_documents
+
+        docs = spark.createDataFrame(
+            [("s", "u1", "x")],
+            "source_name string, unique_id string, jsonld string",
+        )
+        eg = spark.createDataFrame([], "content_hash string, keeper_id string")
+        pr = spark.createDataFrame([], "id_a string, id_b string")
+        with _pytest.raises(ValueError, match="min_id"):
+            cluster_documents(docs, eg, pr, keeper="best")
