@@ -123,6 +123,11 @@ def _corpus_main(argv: list[str]) -> int:
                     help="training-order shuffle: assign each packed "
                          "sequence a (shard, shard_pos) over this many "
                          "shards")
+    ap.add_argument("--keeper", default="min_id",
+                    choices=("min_id", "quality"),
+                    help="cluster keeper rule when the corpus build "
+                         "auto-runs dedup (an existing dup_clusters "
+                         "table is reused as-is)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     weights = None
@@ -144,7 +149,7 @@ def _corpus_main(argv: list[str]) -> int:
         capacity=args.capacity, seed=args.seed,
         eval_path=args.eval_path, decontam_n=args.decontam_n,
         weights=weights, token_budget=args.token_budget,
-        n_shards=args.shards,
+        n_shards=args.shards, keeper=args.keeper,
     )
     print(json.dumps(out))
     return 0

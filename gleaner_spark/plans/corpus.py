@@ -150,6 +150,7 @@ def run_corpus_build(
     weights: dict[str, float] | None = None,
     token_budget: int | None = None,
     n_shards: int | None = None,
+    keeper: str = "min_id",
 ) -> dict:
     """Build and append the ``corpus`` snapshot. Runs the dedup plan
     first when the lake has no ``dup_clusters`` table yet (one less
@@ -161,7 +162,7 @@ def run_corpus_build(
                 "split_counts": {}, "sequences": 0}
     clusters = lake.table("dup_clusters").read(spark)
     if clusters is None:
-        run_corpus_dedup(spark, lake, run_id=f"{run_id}-dedup")
+        run_corpus_dedup(spark, lake, run_id=f"{run_id}-dedup", keeper=keeper)
         clusters = lake.table("dup_clusters").read(spark)
     eval_docs = spark.read.parquet(eval_path) if eval_path else None
     corpus = build_corpus(
