@@ -548,6 +548,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "url", "url_block_reason")
     q["url_filter"] = url_filter
 
+    # ---- dedup: cross-document duplicate-span removal (Lee et al.) ----
+    def span_dedup(spark, sf):
+        from gleaner_spark.operators.spandedup import remove_duplicate_spans
+
+        return remove_duplicate_spans(_t(spark, sf, "documents"), k=5).select(
+            "doc_id", "clean_text", "n_removed"
+        )
+    q["span_dedup"] = span_dedup
+
     # ---- text: PII scrub (emails/IPv4 -> typed placeholders) ----
     def text_redact(spark, sf):
         return TX.redact_pii(_t(spark, sf, "documents")).select(
@@ -1135,6 +1144,39 @@ SELECT doc_id, url,
                    'casino') THEN 'word'
             ELSE NULL END AS url_block_reason
 FROM r
+"""
+
+    # span dedup: k=5 windows duplicated across >=2 distinct docs
+    # (min<>max doc per gram hash) mark their 5 positions covered;
+    # kept tokens rejoin with single spaces in index order
+    o["span_dedup"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(list_aggregate(tk[i+1:i+5], 'string_agg', ' ')) AS gh
+  FROM t, unnest(generate_series(0, len(tk)-5)) AS u(i)
+  WHERE len(tk) >= 5),
+d AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+cov AS (
+  SELECT DISTINCT g.doc_id, u.j
+  FROM g JOIN d USING (gh), unnest(generate_series(g.pos, g.pos+4)) AS u(j)),
+toks AS (
+  SELECT doc_id, i AS idx, tk[i+1] AS tok
+  FROM t, unnest(generate_series(0, len(tk)-1)) AS u(i)),
+kept AS (
+  SELECT toks.doc_id, idx, tok
+  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.idx = cov.j
+  WHERE cov.j IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id),
+rem AS (SELECT doc_id, count(*) AS nr FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(rem.nr, 0) AS BIGINT) AS n_removed
+FROM t
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN rem USING (doc_id)
 """
 
     # PII scrub: same backreference-free patterns under RE2 ('g' =

@@ -446,7 +446,8 @@ def main() -> None:
                      "corpus_split", "corpus_sample", "corpus_pack",
                      "text_redact", "corpus_rollup", "decontaminate",
                      "text_repetition", "corpus_resample",
-                     "corpus_token_budget", "corpus_shuffle", "url_filter"):
+                     "corpus_token_budget", "corpus_shuffle", "url_filter",
+                     "span_dedup"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:

@@ -1377,3 +1377,67 @@ class TestUrlFilter:
         assert "Exchange" not in plan, plan
         assert "Python" not in plan, plan
         assert "*(1)" in plan, plan
+
+
+class TestSpanDedup:
+    def test_cross_doc_spans_removed_within_doc_kept(self, spark):
+        """The shared 4-gram vanishes from BOTH docs (overlap-merged
+        via covered positions); a gram repeated only WITHIN one doc is
+        kept (min==max doc fails the >=2-distinct-docs test); short
+        and unique docs pass through whitespace-normalized."""
+        from gleaner_spark.operators.spandedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),
+                (2, "x y a b c d z w"),
+                (3, "totally unique words here only once"),
+                (4, "p q r s p q r s"),   # within-doc repeat only
+                (5, "too short"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in remove_duplicate_spans(df, k=4).collect()
+        }
+        assert got[1] == ("e f g h", 4)
+        assert got[2] == ("x y z w", 4)
+        assert got[3] == ("totally unique words here only once", 0)
+        assert got[4] == ("p q r s p q r s", 0)
+        assert got[5] == ("too short", 0)
+
+    def test_overlapping_duplicate_windows_merge(self, spark):
+        """Two docs sharing a 6-token run produce 3 overlapping dup
+        4-grams; the covered set merges them to ONE 6-token hole, not
+        3 disjoint removals."""
+        from gleaner_spark.operators.spandedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "u v a b c d e f w"), (2, "a b c d e f q r s")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in remove_duplicate_spans(df, k=4).collect()
+        }
+        assert got[1] == ("u v w", 6)
+        assert got[2] == ("q r s", 6)
+
+    def test_jvm_only_plan(self, spark):
+        """No Python stage, no window, no distinct-count shuffle — the
+        >=2-docs test is min/max with map-side partials."""
+        from gleaner_spark.operators.spandedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        plan = (
+            remove_duplicate_spans(df, k=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "partial_min" in plan, plan
+        assert "distinct" not in plan.lower().replace("collect_set", ""), plan
