@@ -128,6 +128,10 @@ def _corpus_main(argv: list[str]) -> int:
                     help="cluster keeper rule when the corpus build "
                          "auto-runs dedup (an existing dup_clusters "
                          "table is reused as-is)")
+    ap.add_argument("--span-k", type=int, default=None,
+                    help="remove k-token spans duplicated across "
+                         "keeper documents (Lee et al. span dedup; "
+                         "omit to skip)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     weights = None
@@ -149,7 +153,7 @@ def _corpus_main(argv: list[str]) -> int:
         capacity=args.capacity, seed=args.seed,
         eval_path=args.eval_path, decontam_n=args.decontam_n,
         weights=weights, token_budget=args.token_budget,
-        n_shards=args.shards, keeper=args.keeper,
+        n_shards=args.shards, keeper=args.keeper, span_k=args.span_k,
     )
     print(json.dumps(out))
     return 0

@@ -63,6 +63,7 @@ def build_corpus(
     weights: dict[str, float] | None = None,
     token_budget: int | None = None,
     n_shards: int | None = None,
+    span_k: int | None = None,
 ) -> DataFrame:
     """(doc_id, copy, split, seq_id, seq_offset, shard, shard_pos,
     text) for every keeper document. ``clusters`` is the dup_clusters
@@ -94,6 +95,19 @@ def build_corpus(
     if eval_docs is not None:
         base = decontaminate(base, eval_docs, id_col="doc_id",
                              text_col="text", n=decontam_n)
+    if span_k is not None:
+        # span-level dedup on the KEEPER set (doc-level dedup already
+        # collapsed whole-document copies; this strips boilerplate /
+        # quoted passages recurring across the surviving docs), before
+        # resampling so replicas can't vote a span "duplicated", and
+        # before the PII scrub so masking can't split a span hash
+        from ..operators.spandedup import remove_duplicate_spans
+
+        base = remove_duplicate_spans(
+            base, k=span_k, id_col="doc_id", text_col="text"
+        ).select(
+            "doc_id", "source_name", F.col("clean_text").alias("text")
+        )
     if weights:
         base = resample_sources(base, weights, source_col="source_name",
                                 id_col="doc_id", seed=seed)
@@ -151,6 +165,7 @@ def run_corpus_build(
     token_budget: int | None = None,
     n_shards: int | None = None,
     keeper: str = "min_id",
+    span_k: int | None = None,
 ) -> dict:
     """Build and append the ``corpus`` snapshot. Runs the dedup plan
     first when the lake has no ``dup_clusters`` table yet (one less
@@ -169,6 +184,7 @@ def run_corpus_build(
         docs, clusters, capacity=capacity, splits=splits, seed=seed,
         eval_docs=eval_docs, decontam_n=decontam_n,
         weights=weights, token_budget=token_budget, n_shards=n_shards,
+        span_k=span_k,
     )
     entry = lake.table("corpus").append(
         split_doc_id(corpus, "doc_id"), run_id=run_id

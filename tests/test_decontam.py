@@ -148,3 +148,40 @@ class TestCorpusIntegration:
         out = build_corpus(docs, clusters, capacity=512,
                            eval_docs=ev, decontam_n=4)
         assert out.count() == 0
+
+
+class TestCorpusSpanDedup:
+    def test_span_k_strips_cross_doc_boilerplate_keepers_only(self, spark):
+        """--span-k inside the corpus build: a footer shared by two
+        KEEPER docs is stripped from both; a span shared only with a
+        NON-keeper (already dropped by doc-level dedup) is kept —
+        span dedup votes over the keeper set, not the raw table."""
+        from pyspark.sql import functions as F
+
+        from gleaner_spark.plans.corpus import build_corpus
+
+        footer = "all rights reserved by the example consortium"
+        docs = spark.createDataFrame(
+            [
+                ("s0", "d1", f"alpha beta gamma delta {footer}"),
+                ("s0", "d2", f"epsilon zeta eta theta {footer}"),
+                # d3's opening span also appears in the non-keeper d4
+                ("s0", "d3", "iota kappa lambda mu nu xi omicron pi"),
+                ("s0", "d4", "iota kappa lambda mu nu DIFFERENT tail here"),
+            ],
+            "source_name string, unique_id string, jsonld string",
+        )
+        clusters = spark.createDataFrame(
+            [("s0\x1fd1", True), ("s0\x1fd2", True),
+             ("s0\x1fd3", True), ("s0\x1fd4", False)],
+            "id string, is_keeper boolean",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in build_corpus(docs, clusters, capacity=512, span_k=5)
+            .select("doc_id", F.col("text")).collect()
+        }
+        assert out["s0\x1fd1"] == "alpha beta gamma delta"
+        assert out["s0\x1fd2"] == "epsilon zeta eta theta"
+        assert out["s0\x1fd3"] == "iota kappa lambda mu nu xi omicron pi"
+        assert "s0\x1fd4" not in out
