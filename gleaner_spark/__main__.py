@@ -132,6 +132,10 @@ def _corpus_main(argv: list[str]) -> int:
                     help="remove k-token spans duplicated across "
                          "keeper documents (Lee et al. span dedup; "
                          "omit to skip)")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="drop keeper documents whose composite "
+                         "q_score (0-100) falls below this before any "
+                         "other corpus stage")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     weights = None
@@ -154,6 +158,7 @@ def _corpus_main(argv: list[str]) -> int:
         eval_path=args.eval_path, decontam_n=args.decontam_n,
         weights=weights, token_budget=args.token_budget,
         n_shards=args.shards, keeper=args.keeper, span_k=args.span_k,
+        min_quality=args.min_quality,
     )
     print(json.dumps(out))
     return 0

@@ -64,6 +64,7 @@ def build_corpus(
     token_budget: int | None = None,
     n_shards: int | None = None,
     span_k: int | None = None,
+    min_quality: float | None = None,
 ) -> DataFrame:
     """(doc_id, copy, split, seq_id, seq_offset, shard, shard_pos,
     text) for every keeper document. ``clusters`` is the dup_clusters
@@ -92,6 +93,18 @@ def build_corpus(
         F.col("source_name"),
         F.col("jsonld").alias("text"),
     ).join(keepers, "doc_id", "semi")
+    if min_quality is not None:
+        # composite q_score in [0,100] (operators/textops.quality_scores
+        # — length/stopword/punctuation heuristics); map-side filter,
+        # first in the chain so every later stage (decontam explode,
+        # span grams, packing) skips the junk entirely
+        from ..operators.textops import quality_scores
+
+        base = (
+            quality_scores(base, text_col="text")
+            .filter(F.col("q_score") >= min_quality)
+            .select("doc_id", "source_name", "text")
+        )
     if eval_docs is not None:
         base = decontaminate(base, eval_docs, id_col="doc_id",
                              text_col="text", n=decontam_n)
@@ -166,6 +179,7 @@ def run_corpus_build(
     n_shards: int | None = None,
     keeper: str = "min_id",
     span_k: int | None = None,
+    min_quality: float | None = None,
 ) -> dict:
     """Build and append the ``corpus`` snapshot. Runs the dedup plan
     first when the lake has no ``dup_clusters`` table yet (one less
@@ -184,7 +198,7 @@ def run_corpus_build(
         docs, clusters, capacity=capacity, splits=splits, seed=seed,
         eval_docs=eval_docs, decontam_n=decontam_n,
         weights=weights, token_budget=token_budget, n_shards=n_shards,
-        span_k=span_k,
+        span_k=span_k, min_quality=min_quality,
     )
     entry = lake.table("corpus").append(
         split_doc_id(corpus, "doc_id"), run_id=run_id

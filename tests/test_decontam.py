@@ -185,3 +185,45 @@ class TestCorpusSpanDedup:
         assert out["s0\x1fd2"] == "epsilon zeta eta theta"
         assert out["s0\x1fd3"] == "iota kappa lambda mu nu xi omicron pi"
         assert "s0\x1fd4" not in out
+
+
+class TestCorpusQualityFilter:
+    def test_min_quality_drops_junk_first(self, spark):
+        """--min-quality drops low-q_score keepers before any other
+        stage; None leaves the set untouched."""
+        from pyspark.sql import functions as F
+
+        from gleaner_spark.operators.textops import quality_scores
+        from gleaner_spark.plans.corpus import build_corpus
+
+        docs = spark.createDataFrame(
+            [
+                ("s0", "good", "the quick brown fox jumps over the lazy "
+                               "dog and the story continues with many "
+                               "plain readable words in it"),
+                ("s0", "junk", "@@@!!! ### $$$ %%% ^^^ &&& *** ((("),
+            ],
+            "source_name string, unique_id string, jsonld string",
+        )
+        clusters = spark.createDataFrame(
+            [("s0\x1fgood", True), ("s0\x1fjunk", True)],
+            "id string, is_keeper boolean",
+        )
+        q = {
+            r["doc_id"]: r["q_score"]
+            for r in quality_scores(
+                docs.select(
+                    F.concat_ws("\x1f", "source_name", "unique_id").alias("doc_id"),
+                    F.col("jsonld").alias("text"),
+                ),
+                text_col="text",
+            ).collect()
+        }
+        assert q["s0\x1fjunk"] < 30 < q["s0\x1fgood"]
+        ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+        assert ids(build_corpus(docs, clusters, capacity=512)) == {
+            "s0\x1fgood", "s0\x1fjunk"
+        }
+        assert ids(
+            build_corpus(docs, clusters, capacity=512, min_quality=30.0)
+        ) == {"s0\x1fgood"}
