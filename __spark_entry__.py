@@ -548,6 +548,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "url", "url_block_reason")
     q["url_filter"] = url_filter
 
+    # ---- text: corpus-trained unigram NLL (CCNet LM-filter analog) ----
+    def text_nll(spark, sf):
+        return TX.unigram_nll(_t(spark, sf, "documents")).select(
+            "doc_id", "n_tokens", "avg_nll"
+        )
+    q["text_nll"] = text_nll
+
     # ---- dedup: cross-document duplicate-span removal (Lee et al.) ----
     def span_dedup(spark, sf):
         from gleaner_spark.operators.spandedup import remove_duplicate_spans
@@ -1144,6 +1151,20 @@ SELECT doc_id, url,
                    'casino') THEN 'word'
             ELSE NULL END AS url_block_reason
 FROM r
+"""
+
+    # unigram NLL: -ln(count/total) averaged per doc; ROUND on both
+    # sides per the repo's cross-engine float rule
+    o["text_nll"] = f"""
+WITH e AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
+t AS (SELECT sum(c) AS t FROM c)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(c.c / t.t)), 4) AS avg_nll
+FROM e JOIN c USING (tok) CROSS JOIN t
+GROUP BY e.doc_id
 """
 
     # span dedup: k=5 windows duplicated across >=2 distinct docs

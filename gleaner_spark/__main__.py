@@ -136,6 +136,10 @@ def _corpus_main(argv: list[str]) -> int:
                     help="drop keeper documents whose composite "
                          "q_score (0-100) falls below this before any "
                          "other corpus stage")
+    ap.add_argument("--max-nll", type=float, default=None,
+                    help="CCNet-style LM gate: drop keeper documents "
+                         "whose average unigram NLL under the keeper "
+                         "corpus's own distribution exceeds this")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     weights = None
@@ -158,7 +162,7 @@ def _corpus_main(argv: list[str]) -> int:
         eval_path=args.eval_path, decontam_n=args.decontam_n,
         weights=weights, token_budget=args.token_budget,
         n_shards=args.shards, keeper=args.keeper, span_k=args.span_k,
-        min_quality=args.min_quality,
+        min_quality=args.min_quality, max_nll=args.max_nll,
     )
     print(json.dumps(out))
     return 0

@@ -253,3 +253,43 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
     red = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
     red = F.regexp_replace(red, IPV4_RE, "<IP>")
     return docs.withColumn(out_col, red)
+
+
+def unigram_nll(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", decimals: int = 4) -> DataFrame:
+    """Corpus-trained statistical LM filter (the distributable analog
+    of CCNet's KenLM perplexity gate): score every document by the
+    average negative log-likelihood of its tokens under the corpus's
+    OWN unigram distribution. Out-of-distribution junk (mojibake,
+    boilerplate symbol soup, wrong-language fragments) scores high;
+    typical prose scores low. Like CCNet, the model is trained on the
+    data being filtered — no external artifact.
+
+    Returns (id, n_tokens, avg_nll) with avg_nll = mean over tokens of
+    -ln(count(token)/total_tokens), rounded to ``decimals`` so the
+    cross-engine oracle compares stable literals (the repo's standard
+    float-rounding rule).
+
+    Scale shape: pass 1 aggregates token counts — ONE exchange with
+    map-side partials over the exploded tokens; the corpus total is a
+    one-row aggregate over that count table, folded back in as a
+    broadcast cross join (a single Long rides the broadcast). Pass 2
+    re-explodes the documents and hash-joins tokens to their counts
+    (co-partitioned on the token), then one groupBy(id) with map-side
+    partial sums. No UDFs, no collects, no windows."""
+    toks = X.tokens(F.col(text_col))
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    counts = exploded.groupBy("_tok").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_t"))
+    scored = (
+        exploded.join(counts, "_tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (-F.log(F.col("_c").cast("double") / F.col("_t"))).alias("_nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("_nll"), decimals).alias("avg_nll"),
+    )

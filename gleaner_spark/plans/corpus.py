@@ -65,6 +65,7 @@ def build_corpus(
     n_shards: int | None = None,
     span_k: int | None = None,
     min_quality: float | None = None,
+    max_nll: float | None = None,
 ) -> DataFrame:
     """(doc_id, copy, split, seq_id, seq_offset, shard, shard_pos,
     text) for every keeper document. ``clusters`` is the dup_clusters
@@ -104,6 +105,19 @@ def build_corpus(
             quality_scores(base, text_col="text")
             .filter(F.col("q_score") >= min_quality)
             .select("doc_id", "source_name", "text")
+        )
+    if max_nll is not None:
+        # CCNet-style LM gate: keep documents whose average unigram
+        # NLL under the keeper corpus's own distribution stays below
+        # the threshold (junk/mojibake/wrong-language scores high).
+        # Trained on the post-min-quality keeper set, like CCNet
+        # trains on the data it filters.
+        from ..operators.textops import unigram_nll
+
+        nll = unigram_nll(base, id_col="doc_id", text_col="text")
+        base = base.join(
+            nll.filter(F.col("avg_nll") <= max_nll).select("doc_id"),
+            "doc_id", "semi",
         )
     if eval_docs is not None:
         base = decontaminate(base, eval_docs, id_col="doc_id",
@@ -180,6 +194,7 @@ def run_corpus_build(
     keeper: str = "min_id",
     span_k: int | None = None,
     min_quality: float | None = None,
+    max_nll: float | None = None,
 ) -> dict:
     """Build and append the ``corpus`` snapshot. Runs the dedup plan
     first when the lake has no ``dup_clusters`` table yet (one less
@@ -198,7 +213,7 @@ def run_corpus_build(
         docs, clusters, capacity=capacity, splits=splits, seed=seed,
         eval_docs=eval_docs, decontam_n=decontam_n,
         weights=weights, token_budget=token_budget, n_shards=n_shards,
-        span_k=span_k, min_quality=min_quality,
+        span_k=span_k, min_quality=min_quality, max_nll=max_nll,
     )
     entry = lake.table("corpus").append(
         split_doc_id(corpus, "doc_id"), run_id=run_id

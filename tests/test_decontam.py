@@ -227,3 +227,41 @@ class TestCorpusQualityFilter:
         assert ids(
             build_corpus(docs, clusters, capacity=512, min_quality=30.0)
         ) == {"s0\x1fgood"}
+
+
+class TestCorpusNllGate:
+    def test_max_nll_drops_ood_junk(self, spark):
+        """--max-nll keeps the common-prose keepers and drops the
+        out-of-distribution junk doc under the keeper corpus's own
+        unigram model."""
+        from pyspark.sql import functions as F
+
+        from gleaner_spark.operators.textops import unigram_nll
+        from gleaner_spark.plans.corpus import build_corpus
+
+        rows = [("s0", f"d{i}", "the cat sat on the mat again today")
+                for i in range(9)]
+        rows.append(("s0", "junk", "zq xv qqj wpk zzv nbg qrx ylk"))
+        docs = spark.createDataFrame(
+            rows, "source_name string, unique_id string, jsonld string"
+        )
+        clusters = spark.createDataFrame(
+            [(f"s0\x1fd{i}", True) for i in range(9)] + [("s0\x1fjunk", True)],
+            "id string, is_keeper boolean",
+        )
+        nll = {
+            r["doc_id"]: r["avg_nll"]
+            for r in unigram_nll(
+                docs.select(
+                    F.concat_ws("\x1f", "source_name", "unique_id").alias("doc_id"),
+                    F.col("jsonld").alias("text"),
+                )
+            ).collect()
+        }
+        cut = (nll["s0\x1fd0"] + nll["s0\x1fjunk"]) / 2
+        ids = {
+            r["doc_id"]
+            for r in build_corpus(docs, clusters, capacity=512, max_nll=cut)
+            .select("doc_id").collect()
+        }
+        assert ids == {f"s0\x1fd{i}" for i in range(9)}

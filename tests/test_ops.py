@@ -1441,3 +1441,48 @@ class TestSpanDedup:
         assert "Window" not in plan, plan
         assert "partial_min" in plan, plan
         assert "distinct" not in plan.lower().replace("collect_set", ""), plan
+
+
+class TestUnigramNll:
+    def test_ood_junk_scores_higher_than_common_prose(self, spark):
+        """Documents made of corpus-common tokens score low; a doc of
+        tokens that appear nowhere else scores the corpus maximum
+        (-ln(1/total) per token). Weighted per-doc token counts come
+        back exact."""
+        import math
+
+        from gleaner_spark.operators.textops import unigram_nll
+
+        df = spark.createDataFrame(
+            [(i, "the cat sat on the mat") for i in range(9)]
+            + [(9, "zq xv qqj wpk zzv nbg")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+        assert all(got[i]["n_tokens"] == 6 for i in range(10))
+        common = got[0]["avg_nll"]
+        junk = got[9]["avg_nll"]
+        assert junk > common
+        total = 60  # 10 docs x 6 tokens
+        assert junk == round(-math.log(1 / total), 4)  # every token unique
+        # 'the' appears 18x, others 9x: exact closed form
+        want = round(-(2 * math.log(18 / total) + 4 * math.log(9 / total)) / 6, 4)
+        assert common == want
+
+    def test_reshard_invariant_and_plan(self, spark):
+        from gleaner_spark.operators.textops import unigram_nll
+
+        df = spark.createDataFrame(
+            [(i, f"tok{i % 7} tok{i % 3} filler") for i in range(50)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, unigram_nll(df).collect()))
+        b = sorted(map(tuple, unigram_nll(df.repartition(13)).collect()))
+        assert a == b
+        plan = unigram_nll(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Window" not in plan, plan
+        assert "partial_count" in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # the token->count join is an equi-join, never a cartesian of
+        # the exploded table
+        assert "CartesianProduct" not in plan, plan
