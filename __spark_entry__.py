@@ -555,6 +555,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_nll"] = text_nll
 
+    # ---- text: feature-hashed TF embedding (dense build verified
+    # as a csv string — integer counts, engine-stable formatting) ----
+    def text_tf_embed(spark, sf):
+        from gleaner_spark.operators.textops import hashed_tf
+
+        tf = hashed_tf(_t(spark, sf, "documents"), dim=16, norm=False)
+        return tf.select(
+            "doc_id",
+            F.concat_ws(
+                ",", F.transform("tf", lambda x: x.cast("string"))
+            ).alias("tf_csv"),
+        )
+    q["text_tf_embed"] = text_tf_embed
+
     # ---- dedup: cross-document duplicate-span removal (Lee et al.) ----
     def span_dedup(spark, sf):
         from gleaner_spark.operators.spandedup import remove_duplicate_spans
@@ -1165,6 +1179,26 @@ SELECT e.doc_id,
        round(avg(-ln(c.c / t.t)), 4) AS avg_nll
 FROM e JOIN c USING (tok) CROSS JOIN t
 GROUP BY e.doc_id
+"""
+
+    # hashed TF: same md5-prefix bucket as the split/sample oracles,
+    # dense vector rebuilt as an ordered csv of exact integer counts
+    o["text_tf_embed"] = f"""
+WITH e AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS INT) AS bk
+  FROM e),
+c AS (SELECT doc_id, bk, CAST(count(*) AS INT) AS v FROM b GROUP BY doc_id, bk),
+g AS (
+  SELECT d.doc_id, u.i
+  FROM (SELECT DISTINCT doc_id FROM documents) d,
+       unnest(generate_series(0, 15)) AS u(i)),
+j AS (
+  SELECT g.doc_id, g.i, coalesce(c.v, 0) AS v
+  FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.i = c.bk)
+SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS tf_csv
+FROM j GROUP BY doc_id
 """
 
     # span dedup: k=5 windows duplicated across >=2 distinct docs

@@ -102,6 +102,12 @@ def resample_sources(
     def _parts(w: float) -> tuple[int, int]:
         if w < 0:
             raise ValueError(f"weights must be >= 0, got {w}")
+        if w > 1000:
+            # explode(sequence(0, w)) materializes w rows per doc — a
+            # fat-fingered weight (someone passing a token count) would
+            # w-plicate the corpus; no pretraining mix exceeds a few
+            # epochs, so refuse loudly instead
+            raise ValueError(f"weight {w} is implausibly large (max 1000)")
         base = int(w)
         return base, int(round((w - base) * mod))
 

@@ -293,3 +293,52 @@ def unigram_nll(docs: DataFrame, id_col: str = "doc_id",
         F.count("*").cast("long").alias("n_tokens"),
         F.round(F.avg("_nll"), decimals).alias("avg_nll"),
     )
+
+
+def hashed_tf(docs: DataFrame, dim: int = 64, id_col: str = "doc_id",
+              text_col: str = "text", norm: bool = True) -> DataFrame:
+    """Feature-hashed term-frequency embedding (the hashing trick):
+    every token buckets to ``pmod(md5-prefix, dim)`` and the document
+    becomes the dense count vector — no vocabulary artifact, so the
+    map is a pure function of the text and any two engines/runs agree.
+    With ``norm=True`` the vector is L2-normalized (``array<float>``,
+    cosine-ready for operators/ann.py and embedding_near_duplicates);
+    ``norm=False`` returns the exact integer counts (``array<int>``,
+    what the cross-engine oracle verifies).
+
+    Scale shape: explode → one groupBy(id, bucket) count with map-side
+    partials → one groupBy(id) building the dense vector from a
+    bucket→count map (transform over a literal range; O(dim) per doc,
+    JVM-side) — two exchanges, no UDFs, no collects. dim is a
+    compile-time literal, so the vector build is whole-stage codegen.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = X.tokens(F.col(text_col))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+        % dim
+    ).cast("int")
+    counts = (
+        docs.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        .select(id_col, bucket.alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count("*").cast("int").alias("_c"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("_b", "_c")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(m, i.cast("int")), F.lit(0)),
+    )
+    out = counts.groupBy(id_col).agg(dense.alias("tf"))
+    if not norm:
+        return out
+    sq = F.aggregate(
+        "tf", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    return out.select(
+        id_col,
+        F.transform(
+            "tf", lambda x: (x / F.sqrt(F.greatest(sq, F.lit(1e-12)))).cast("float")
+        ).alias("embedding"),
+    )

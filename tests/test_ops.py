@@ -1486,3 +1486,63 @@ class TestUnigramNll:
         # the token->count join is an equi-join, never a cartesian of
         # the exploded table
         assert "CartesianProduct" not in plan, plan
+
+
+class TestResampleGuard:
+    def test_implausible_weight_refused(self, spark):
+        import pytest as _pytest
+
+        from gleaner_spark.operators.sampling import resample_sources
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with _pytest.raises(ValueError, match="implausibly large"):
+            resample_sources(df, {"a": 50_000.0}).collect()
+        # the boundary itself is allowed
+        assert resample_sources(df, {"a": 1000.0}).count() == 1000
+
+
+class TestHashedTf:
+    def test_counts_norm_and_ann_composability(self, spark):
+        """Exact counts, unit L2 norm, identical docs get identical
+        vectors, and the output feeds brute_force_topk directly
+        (text -> embedding -> ANN with no external artifact)."""
+        import math
+
+        from gleaner_spark.operators.ann import brute_force_topk
+        from gleaner_spark.operators.textops import hashed_tf
+
+        df = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog"),
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different words about spark shuffles"),
+            ],
+            "doc_id long, text string",
+        )
+        raw = {r["doc_id"]: r["tf"] for r in hashed_tf(df, dim=32, norm=False).collect()}
+        assert sum(raw[0]) == 9 and raw[0] == raw[1] and raw[0] != raw[2]
+        emb = {r["doc_id"]: r["embedding"] for r in hashed_tf(df, dim=32).collect()}
+        for v in emb.values():
+            assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+        e = hashed_tf(df, dim=32).withColumnRenamed("doc_id", "vec_id")
+        top = {
+            r["query_id"]: r["nbr_id"]
+            for r in brute_force_topk(e, e, k=1).collect()
+        }
+        assert top[0] == 1 and top[1] == 0  # the exact dup is the 1-NN
+
+    def test_reshard_invariant_and_bad_dim(self, spark):
+        import pytest as _pytest
+
+        from gleaner_spark.operators.textops import hashed_tf
+
+        df = spark.createDataFrame(
+            [(i, f"tok{i % 5} tok{i % 3} x") for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = {r["doc_id"]: r["tf"] for r in hashed_tf(df, 16, norm=False).collect()}
+        b = {r["doc_id"]: r["tf"]
+             for r in hashed_tf(df.repartition(7), 16, norm=False).collect()}
+        assert a == b
+        with _pytest.raises(ValueError, match=">= 1"):
+            hashed_tf(df, 0)
