@@ -74,6 +74,14 @@ def _dedup_main(argv: list[str]) -> int:
                     help="cluster keeper rule: min_id (harvest-dedup "
                          "parity) or quality (highest q_score member, "
                          "ties -> min id)")
+    ap.add_argument("--method", default="minhash",
+                    choices=("minhash", "embedding"),
+                    help="near-dup pair method: shingle-Jaccard MinHash "
+                         "LSH, or hashed-TF cosine via the grid kernel "
+                         "(--threshold is then cosine*100)")
+    ap.add_argument("--dim", type=int, default=64,
+                    help="hashed-TF embedding width for "
+                         "--method embedding")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -86,6 +94,7 @@ def _dedup_main(argv: list[str]) -> int:
         run_id=args.run_id or f"dedup-{int(time.time())}",
         k=args.minhash_k, bands=args.bands, rows=args.rows,
         n=args.ngram, threshold_pct=args.threshold, keeper=args.keeper,
+        method=args.method, dim=args.dim,
     )
     print(json.dumps(out))
     return 0

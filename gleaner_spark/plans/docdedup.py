@@ -76,6 +76,44 @@ def _exact_star_edges(base: DataFrame, exact_groups: DataFrame) -> DataFrame:
     )
 
 
+def near_pairs_embedding(
+    base: DataFrame, dim: int = 64, threshold_pct: int = 95
+) -> DataFrame:
+    """Near-dup pairs via hashed-TF cosine instead of MinHash: embed
+    every document with the vocabulary-free hashing trick
+    (operators/textops.hashed_tf) and run the grid-tiled exact cosine
+    pass (operators/dedup.embedding_near_duplicates). Catches
+    reorderings/paraphrases that shingle Jaccard scores low.
+
+    Output schema matches the MinHash path — (id_a, id_b, inter, uni)
+    with similarity = inter/uni — so ``dup_near`` snapshots from
+    either method union in one lake table: inter = round(cos·10⁶),
+    uni = 10⁶. The grid kernel keys on long ids, so string doc_ids
+    ride through xxhash64 (collision odds ~N²/2⁶⁴ — negligible below
+    ~10⁹ docs; above that, route through LSH/IVF anyway)."""
+    from ..operators.dedup import embedding_near_duplicates
+    from ..operators.textops import hashed_tf
+
+    ids = base.select("doc_id").withColumn("_nid", F.xxhash64("doc_id"))
+    emb = (
+        hashed_tf(base, dim=dim, id_col="doc_id", text_col="text")
+        .join(ids, "doc_id")
+        .select(F.col("_nid").alias("vec_id"), "embedding")
+    )
+    pairs = embedding_near_duplicates(emb, threshold=threshold_pct / 100.0)
+    a = ids.select(F.col("_nid").alias("id_a"), F.col("doc_id").alias("_da"))
+    b = ids.select(F.col("_nid").alias("id_b"), F.col("doc_id").alias("_db"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+            F.round(F.col("cos") * 1_000_000).cast("long").alias("inter"),
+            F.lit(1_000_000).cast("long").alias("uni"),
+        )
+    )
+
+
 def dedup_documents(
     docs: DataFrame,
     k: int = 16,
@@ -83,21 +121,33 @@ def dedup_documents(
     rows: int = 4,
     n: int = 3,
     threshold_pct: int = 80,
+    method: str = "minhash",
+    dim: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """(exact duplicate groups, verified near-dup pairs) over a
     documents-table DataFrame. Exact groups: (content_hash, keeper_id,
     n_dups>1). Near pairs: (id_a, id_b, inter, uni) with
-    inter/uni >= threshold_pct/100, id_a < id_b. Cluster assignment is
+    inter/uni >= threshold_pct/100, id_a < id_b. ``method``:
+    "minhash" (shingle Jaccard via banded LSH) or "embedding"
+    (hashed-TF cosine via the grid kernel — see
+    ``near_pairs_embedding``). Cluster assignment is
     a separate eager stage — ``cluster_documents`` — fed from the
     WRITTEN pair snapshot so the iterative component rounds never
-    recompute the LSH join."""
+    recompute the pair join."""
     base = docs.select(
         corpus_doc_id().alias("doc_id"), F.col("jsonld").alias("text")
     )
     exact = exact_duplicates(base)
-    near = minhash_lsh_dedup(
-        base, k=k, bands=bands, rows=rows, n=n, threshold_pct=threshold_pct
-    )
+    if method == "embedding":
+        near = near_pairs_embedding(base, dim=dim, threshold_pct=threshold_pct)
+    elif method == "minhash":
+        near = minhash_lsh_dedup(
+            base, k=k, bands=bands, rows=rows, n=n, threshold_pct=threshold_pct
+        )
+    else:
+        raise ValueError(
+            f"method must be 'minhash' or 'embedding', got {method!r}"
+        )
     return exact, near
 
 
@@ -147,6 +197,8 @@ def run_corpus_dedup(
     n: int = 3,
     threshold_pct: int = 80,
     keeper: str = "min_id",
+    method: str = "minhash",
+    dim: int = 64,
 ) -> dict:
     """Read the lake's documents, run both passes, append ``dup_exact``
     / ``dup_near`` / ``dup_clusters`` snapshots, return the summary
@@ -161,7 +213,8 @@ def run_corpus_dedup(
             "clusters": 0, "duplicate_docs": 0,
         }
     exact, near = dedup_documents(
-        docs, k=k, bands=bands, rows=rows, n=n, threshold_pct=threshold_pct
+        docs, k=k, bands=bands, rows=rows, n=n, threshold_pct=threshold_pct,
+        method=method, dim=dim,
     )
     exact_entry = lake.table("dup_exact").append(exact, run_id=run_id)
     near_entry = lake.table("dup_near").append(

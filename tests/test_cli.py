@@ -386,3 +386,33 @@ def test_cli_vacuum_sweeps_orphans_only(tmp_path, capsys):
     rc = main(["vacuum", "--lake", lake.root, "--min-age-s", "0"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["removed"] == {}
+
+
+def test_dedup_embedding_method(spark, tmp_path, capsys):
+    """--method embedding: hashed-TF cosine pairs through the grid
+    kernel, schema-identical to the MinHash dup_near table, feeding
+    the same cluster stage."""
+    from gleaner_spark.plans.docdedup import dedup_documents, near_pairs_embedding
+
+    docs = spark.createDataFrame(
+        [
+            ("s0", "u1", "the quick brown fox jumps over the lazy dog today"),
+            # token-reordered copy: shingle Jaccard is low, cosine = 1.0
+            ("s0", "u2", "today dog lazy the over jumps fox brown quick the"),
+            ("s0", "u3", "entirely different content about spark shuffles here"),
+        ],
+        "source_name string, unique_id string, jsonld string",
+    )
+    exact_m, near_m = dedup_documents(docs, method="minhash")
+    exact_e, near_e = dedup_documents(docs, method="embedding",
+                                      threshold_pct=95)
+    assert near_e.columns == near_m.columns  # snapshots union in one table
+    pairs = {(r["id_a"], r["id_b"]): r["inter"] / r["uni"]
+             for r in near_e.collect()}
+    assert set(pairs) == {("s0\x1fu1", "s0\x1fu2")}
+    assert pairs[("s0\x1fu1", "s0\x1fu2")] > 0.99  # bag-of-words identical
+    # the reordering defeats 3-gram shingles at 80%
+    assert near_m.count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="minhash"):
+        dedup_documents(docs, method="simhash")
