@@ -206,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gleaner_spark")
     ap.add_argument("--cfg", required=True, help="YAML config (gleanerConfig.go:35-49)")
     ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")
+    ap.add_argument("--pages-format", default="parquet",
+                    choices=("parquet", "warc"),
+                    help="pages input: parquet table, or a directory of "
+                         "WARC/WET archives (Common-Crawl layout; "
+                         "sources/warc.py — response html + conversion "
+                         "text merged per capture)")
     ap.add_argument("--lake", required=True, help="lake root for documents/prov/orgs/frontier/metrics")
     ap.add_argument("--seeds", required=True, help="JSON of prefetched sitemap/robots bodies")
     ap.add_argument("--source", default="", help="restrict to one source name (root.go:80-110)")
@@ -259,7 +265,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.setup:
         for t in ("documents", "prov", "orgs", "frontier", "metrics"):
             lake.table(t)  # CREATE TABLE IF NOT EXISTS equivalent
-    pages = spark.read.parquet(args.pages)
+    if args.pages_format == "warc":
+        from .sources.warc import combine_warc_wet, read_warc
+
+        pages = combine_warc_wet(read_warc(spark, args.pages))
+    else:
+        pages = spark.read.parquet(args.pages)
 
     run_id = args.run_id or f"run-{int(time.time())}"
     res = harvest_from_config(
