@@ -47,7 +47,9 @@ reader keys on record type, not file name).
 Reference parity note: the reference ingests sitemaps over live HTTP
 only (internal/summoner/acquire/resources.go) and has no archive
 reader; this source is part of the beyond-reference surface that
-makes the engine consumable at Common-Crawl scale (SURVEY §2.4).
+makes the engine consumable at Common-Crawl scale (SURVEY "Round-5
+updates"; the reference's source-type inventory is SURVEY §2.2
+"Scans/sources/sinks").
 """
 
 from __future__ import annotations
