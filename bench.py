@@ -447,7 +447,7 @@ def main() -> None:
                      "text_redact", "corpus_rollup", "decontaminate",
                      "text_repetition", "corpus_resample",
                      "corpus_token_budget", "corpus_shuffle", "url_filter",
-                     "span_dedup", "text_nll", "text_tf_embed"):
+                     "span_dedup", "text_nll", "text_tf_embed", "url_index"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:

@@ -37,13 +37,20 @@ from .sources.config import load_config
 def _ship_package(spark) -> None:
     """Self-ship the package to executors (the --py-files equivalent,
     so ``python -m gleaner_spark`` works without packaging first;
-    harmless when spark-submit already shipped a zip)."""
+    harmless when spark-submit already shipped a zip). Idempotent per
+    SparkContext: Spark rejects re-adding a same-named file whose
+    bytes changed, so a second CLI call on a long-lived session would
+    otherwise fail if any package file was touched in between — the
+    executors already hold a working copy from the first ship."""
     import os
     import shutil
     import tempfile
 
     import gleaner_spark
 
+    sc = spark.sparkContext
+    if getattr(sc, "_gleaner_pkg_shipped", False):
+        return
     pkg_dir = os.path.dirname(os.path.abspath(gleaner_spark.__file__))
     zip_path = shutil.make_archive(
         os.path.join(tempfile.mkdtemp(prefix="gleaner-pyfiles-"), "gleaner_spark"),
@@ -51,7 +58,8 @@ def _ship_package(spark) -> None:
         root_dir=os.path.dirname(pkg_dir),
         base_dir="gleaner_spark",
     )
-    spark.sparkContext.addPyFile(zip_path)
+    sc.addPyFile(zip_path)
+    sc._gleaner_pkg_shipped = True
 
 
 def _dedup_main(argv: list[str]) -> int:

@@ -1,0 +1,110 @@
+"""CDX/cc-index-style capture index: SURT-canonicalized URL keys and
+a per-key capture summary over a pages/captures table.
+
+Common Crawl's query surface over a crawl is its URL index (the
+cc-index / CDXJ files): one row per capture, keyed by the SURT
+(Sort-friendly URI Reordering Transform) of the URL so that all
+captures of a host and its subpaths sort adjacently. Any engine that
+ingests CC-style archives (sources/warc.py) needs the same index to
+answer "which captures of example.org/x do we hold" without scanning
+page bodies. The reference has no such operator (it crawls curated
+sitemap seed lists); this is beyond-reference surface like
+operators/urlfilter.py (SURVEY §2.2 "Scans/sources/sinks" records the
+reference's source inventory).
+
+SURT key semantics — pinned, deterministic, engine-portable (every
+step is a regex or list op both Spark and DuckDB run identically, so
+the driver's oracle replays it verbatim):
+
+- lowercase the whole URL;
+- host = the authority minus userinfo (``user:pw@``), minus one
+  trailing dot, minus a default ``:80``/``:443`` port (non-default
+  ports are kept — they address a different server), minus ONE
+  leading ``www.`` label;
+- the host's dot-labels are reversed and comma-joined
+  (``org,example``), then ``)``;
+- path = everything from the first ``/`` up to ``?`` or ``#``;
+  empty path becomes ``/``;
+- a non-empty query is appended as ``?`` + its ``&``-separated
+  params sorted bytewise (CDX canonicalization: param order is
+  transport noise); the fragment is always dropped.
+- URLs with no ``scheme://authority`` (relative or junk) get a NULL
+  key — they are not captures of any host.
+
+Scale shape: ``surt_key`` is pure whole-stage-codegen column
+expressions — ZERO exchanges to annotate 10^10 captures.
+``build_url_index`` is one hash exchange with map-side partial
+aggregation (count/min/max); at CC scale (~3×10^9 captures/crawl)
+the index is ~10^9 groups, far smaller than the page table, and the
+groupBy key is the high-cardinality surt_key so there is no skew
+hazard beyond what AQE already handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://authority — authority ends at the first /, ?, or #
+_AUTH_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+# everything after the authority (path + query + fragment)
+_TAIL_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$"
+
+
+def surt_key(url_col: str = "url") -> Column:
+    """SURT key column for ``url_col`` (see module docstring for the
+    pinned canonicalization). NULL for non-absolute URLs."""
+    u = F.lower(F.col(url_col))
+    auth = F.regexp_extract(u, _AUTH_RE, 1)
+    host = F.regexp_replace(auth, "^[^@]*@", "")      # userinfo
+    host = F.regexp_replace(host, r"\.$", "")          # trailing dot
+    host = F.regexp_replace(host, ":(80|443)$", "")    # default ports
+    host = F.regexp_replace(host, r"^www\.", "")       # one www. label
+    # a kept non-default port rides AFTER the reversed labels
+    # ("org,example:8443)"), not glued to the TLD label
+    port = F.regexp_extract(host, ":([0-9]+)$", 1)
+    name = F.regexp_replace(host, ":[0-9]+$", "")
+    rev = F.concat(
+        F.array_join(F.reverse(F.split(name, r"\.")), ","),
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+    )
+    tail = F.regexp_extract(u, _TAIL_RE, 1)
+    path = F.regexp_extract(tail, "^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(tail, r"\?([^#]*)", 1)
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    key = F.concat(
+        rev, F.lit(")"), path,
+        F.when(query != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+    )
+    return F.when(auth == "", F.lit(None).cast("string")).otherwise(key)
+
+
+def annotate_surt(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add a ``surt_key`` column — zero exchanges, codegen only."""
+    return df.withColumn("surt_key", surt_key(url_col))
+
+
+def build_url_index(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Capture index: one row per surt_key with capture count, first/
+    last capture time, and the bytewise-min original URL as the
+    display sample (deterministic under parallelism). Junk rows
+    (NULL surt_key) aggregate into one NULL group so they stay
+    countable rather than silently vanishing.
+
+    One hash exchange (map-side partial count/min/max). Sort the
+    result by surt_key at write time if CDX-adjacent file layout is
+    wanted; the aggregation itself needs no order.
+    """
+    return (
+        annotate_surt(df, url_col)
+        .groupBy("surt_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.min(url_col).alias("url"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""SURT canonicalization + CDX-style capture index
+(operators/urlindex.py): pinned key vectors, aggregation semantics,
+and the plan shapes the module docstring promises."""
+
+import pytest
+
+from gleaner_spark.operators.urlindex import (
+    annotate_surt,
+    build_url_index,
+)
+
+
+def _keys(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = annotate_surt(df).collect()
+    return {r["url"]: r["surt_key"] for r in rows}
+
+
+class TestSurtKey:
+    def test_canonicalization_vectors(self, spark):
+        got = _keys(spark, [
+            # basic: host reversed, path kept
+            "https://example.org/a/b",
+            # lowercasing + one www. label stripped
+            "HTTPS://WWW.Example.ORG/A",
+            # www stripped only as a leading label, only once
+            "https://www.www.example.org/x",
+            "https://wwwx.example.org/x",
+            # default ports stripped, non-default kept
+            "http://example.org:80/p",
+            "https://example.org:443/p",
+            "https://example.org:8443/p",
+            # userinfo + trailing dot stripped
+            "https://user:pw@example.org./p",
+            # empty path -> /
+            "https://example.org",
+            # query params sorted; fragment dropped
+            "https://example.org/p?b=2&a=1#frag",
+            "https://example.org/p?a=1&b=2",
+            # empty query with fragment only
+            "https://example.org/p#frag",
+            # deep subdomain
+            "https://a.b.c.example.co.uk/",
+        ])
+        assert got["https://example.org/a/b"] == "org,example)/a/b"
+        assert got["HTTPS://WWW.Example.ORG/A"] == "org,example)/a"
+        assert got["https://www.www.example.org/x"] == "org,example,www)/x"
+        assert got["https://wwwx.example.org/x"] == "org,example,wwwx)/x"
+        assert got["http://example.org:80/p"] == "org,example)/p"
+        assert got["https://example.org:443/p"] == "org,example)/p"
+        assert got["https://example.org:8443/p"] == "org,example:8443)/p"
+        assert got["https://user:pw@example.org./p"] == "org,example)/p"
+        assert got["https://example.org"] == "org,example)/"
+        # both param orders collapse to one key, fragment gone
+        assert got["https://example.org/p?b=2&a=1#frag"] == "org,example)/p?a=1&b=2"
+        assert got["https://example.org/p?a=1&b=2"] == "org,example)/p?a=1&b=2"
+        assert got["https://example.org/p#frag"] == "org,example)/p"
+        assert got["https://a.b.c.example.co.uk/"] == "uk,co,example,c,b,a)/"
+
+    def test_non_absolute_urls_get_null_key(self, spark):
+        got = _keys(spark, ["not-a-url", "/relative/path", "mailto:x@y.z"])
+        assert set(got.values()) == {None}
+
+    def test_annotate_is_map_side(self, spark):
+        df = spark.createDataFrame(
+            [(f"https://h{i}.example/p{i}",) for i in range(20)], "url string"
+        )
+        plan = (
+            annotate_surt(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "*(1)" in plan, plan
+
+
+class TestUrlIndex:
+    def _captures(self, spark):
+        rows = [
+            # three captures of one canonical page under cosmetic
+            # URL variation — must collapse to ONE index row
+            ("https://www.example.org/p?b=2&a=1", 100),
+            ("https://example.org/p?a=1&b=2", 50),
+            ("https://EXAMPLE.org:443/p?b=2&a=1#f", 200),
+            # a different page on the same host
+            ("https://example.org/q", 10),
+            # junk row -> NULL key group
+            ("not-a-url", 5),
+        ]
+        return spark.createDataFrame(rows, "url string, warc_ts long")
+
+    def test_index_semantics(self, spark):
+        idx = {r["surt_key"]: r for r in build_url_index(
+            self._captures(spark)
+        ).collect()}
+        assert set(idx) == {"org,example)/p?a=1&b=2", "org,example)/q", None}
+        p = idx["org,example)/p?a=1&b=2"]
+        assert p["n_captures"] == 3
+        assert p["first_ts"] == 50 and p["last_ts"] == 200
+        # bytewise-min original url is the deterministic sample
+        assert p["url"] == "https://EXAMPLE.org:443/p?b=2&a=1#f"
+        assert idx["org,example)/q"]["n_captures"] == 1
+        assert idx[None]["n_captures"] == 1 and idx[None]["url"] == "not-a-url"
+
+    def test_index_plan_one_exchange_partial_agg(self, spark):
+        plan = (
+            build_url_index(self._captures(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+        assert "partial_count" in plan or "partial" in plan.lower(), plan
+        assert "Python" not in plan, plan
+
+    def test_index_over_warc_read_corpus(self, spark, tmp_path):
+        """Composition: the WARC reader's output feeds the index —
+        the cc-index build a CC-style archive user runs first."""
+        from gleaner_spark.sources.warc import combine_warc_wet, read_warc, write_warc_file
+        import datetime as dt
+
+        rows = [
+            {"url": "https://www.site.example/a?y=2&x=1",
+             "warc_ts": dt.datetime(2024, 1, 1, 0, 0, 1),
+             "html": b"<html>a</html>", "text": "a", "lang": "en",
+             "content_type": "text/html"},
+            {"url": "https://site.example/a?x=1&y=2",
+             "warc_ts": dt.datetime(2024, 1, 2, 0, 0, 1),
+             "html": b"<html>a2</html>", "text": None, "lang": "en",
+             "content_type": "text/html"},
+        ]
+        write_warc_file(rows, str(tmp_path / "t.warc.gz"))
+        pages = combine_warc_wet(read_warc(spark, str(tmp_path)))
+        idx = build_url_index(pages).collect()
+        assert len(idx) == 1
+        assert idx[0]["surt_key"] == "example,site)/a?x=1&y=2"
+        assert idx[0]["n_captures"] == 2
+        assert idx[0]["first_ts"] == dt.datetime(2024, 1, 1, 0, 0, 1)
+        assert idx[0]["last_ts"] == dt.datetime(2024, 1, 2, 0, 0, 1)
