@@ -185,6 +185,51 @@ def _corpus_main(argv: list[str]) -> int:
     return 0
 
 
+def _index_main(argv: list[str]) -> int:
+    """``python -m gleaner_spark index --pages <path> --out <dir>``:
+    build the SURT-keyed CDX-style capture index (operators/
+    urlindex.build_url_index) over a pages table — parquet or a
+    WARC/WET archive directory — and write it range-partitioned and
+    sorted by surt_key, the cc-index file layout (all captures of a
+    host and its subpaths land adjacent, so a host-prefix query
+    touches one or two files). Prints a JSON summary."""
+    ap = argparse.ArgumentParser(prog="gleaner_spark index")
+    ap.add_argument("--pages", required=True,
+                    help="pages table path (parquet) or WARC dir")
+    ap.add_argument("--pages-format", default="parquet",
+                    choices=("parquet", "warc"))
+    ap.add_argument("--out", required=True, help="output parquet dir")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--ts-col", default="warc_ts")
+    ap.add_argument("--files", type=int, default=0,
+                    help="output file count (0 = one per shuffle "
+                         "partition)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from .operators.urlindex import build_url_index
+
+    spark = build_session("gleaner-index", master=args.master)
+    _ship_package(spark)
+    if args.pages_format == "warc":
+        from .sources.warc import combine_warc_wet, read_warc
+
+        pages = combine_warc_wet(read_warc(spark, args.pages))
+    else:
+        pages = spark.read.parquet(args.pages)
+    idx = build_url_index(pages, url_col=args.url_col, ts_col=args.ts_col)
+    if args.files > 0:
+        idx = idx.repartitionByRange(args.files, "surt_key")
+    else:
+        idx = idx.repartitionByRange("surt_key")
+    idx.sortWithinPartitions("surt_key").write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "index_rows": n}))
+    return 0
+
+
 def _vacuum_main(argv: list[str]) -> int:
     """``python -m gleaner_spark vacuum --lake <path>``: delete
     snap-* data dirs no manifest references (left by drop_snapshot/
@@ -211,6 +256,8 @@ def main(argv: list[str] | None = None) -> int:
         return _corpus_main(argv[1:])
     if argv and argv[0] == "vacuum":
         return _vacuum_main(argv[1:])
+    if argv and argv[0] == "index":
+        return _index_main(argv[1:])
     ap = argparse.ArgumentParser(prog="gleaner_spark")
     ap.add_argument("--cfg", required=True, help="YAML config (gleanerConfig.go:35-49)")
     ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")

@@ -134,3 +134,45 @@ class TestUrlIndex:
         assert idx[0]["n_captures"] == 2
         assert idx[0]["first_ts"] == dt.datetime(2024, 1, 1, 0, 0, 1)
         assert idx[0]["last_ts"] == dt.datetime(2024, 1, 2, 0, 0, 1)
+
+    def test_cli_index_subcommand(self, spark, tmp_path, capsys):
+        """``python -m gleaner_spark index`` writes the sorted index
+        from a WARC dir; output parquet is surt_key-ordered within
+        files (the cc-index layout)."""
+        import datetime as dt
+        import json
+
+        from gleaner_spark.__main__ import main
+        from gleaner_spark.sources.warc import write_warc_file
+
+        rows = [
+            {"url": f"https://www.h{i % 5}.example/p{i}?b=2&a=1",
+             "warc_ts": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+             "html": b"<html>x</html>", "text": None, "lang": "en",
+             "content_type": "text/html"}
+            for i in range(40)
+        ]
+        wdir = tmp_path / "w"
+        wdir.mkdir()
+        write_warc_file(rows, str(wdir / "a.warc.gz"))
+        out = tmp_path / "idx"
+        rc = main(["index", "--pages", str(wdir), "--pages-format",
+                   "warc", "--out", str(out), "--files", "2"])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["index_rows"] == 40  # distinct (host, path) pairs
+        got = spark.read.parquet(str(out)).collect()
+        keys = [r["surt_key"] for r in got]
+        assert len(keys) == 40 and all(k.endswith("?a=1&b=2") for k in keys)
+        import glob as g
+
+        files = sorted(g.glob(str(out / "part-*")))
+        assert len(files) == 2
+        # range-partitioned + sorted within: concatenated file order
+        # is globally sorted
+        per_file = [
+            [r["surt_key"] for r in spark.read.parquet(f).collect()]
+            for f in files
+        ]
+        flat = [k for fk in per_file for k in fk]
+        assert flat == sorted(flat)
