@@ -108,3 +108,49 @@ def build_url_index(
             F.min(url_col).alias("url"),
         )
     )
+
+
+def _prefix_range(surt_prefix: str) -> Column:
+    """``surt_key`` is bytewise inside the raw string-prefix range.
+    Expressed as a pair of range predicates (``>= p`` and ``< p+1``)
+    rather than ``startswith`` so the filter pushes down to the
+    parquet scan as min/max-stat skipping. The upper bound bumps the
+    prefix's last byte (surt keys are ASCII, so byte-wise and
+    codepoint-wise order agree and chr(+1) is safe)."""
+    upper = surt_prefix[:-1] + chr(ord(surt_prefix[-1]) + 1)
+    return (F.col("surt_key") >= surt_prefix) & (F.col("surt_key") < upper)
+
+
+def lookup_prefix(index_df: DataFrame, surt_prefix: str) -> DataFrame:
+    """All index rows under a RAW surt-string prefix. Note raw string
+    semantics: prefix ``org,example`` also matches host
+    ``examplez.org`` (the label is a prefix of it) — for
+    delimiter-correct host queries use :func:`lookup_host`. Over an
+    index written sorted by surt_key (the ``index`` CLI layout) the
+    pushed range prunes every file/row-group outside the prefix —
+    that, not the filter itself, is what makes a 10^9-row index
+    answer prefix queries interactively."""
+    if not surt_prefix:
+        return index_df
+    return index_df.filter(_prefix_range(surt_prefix))
+
+
+def lookup_host(
+    index_df: DataFrame, host: str, include_subdomains: bool = True,
+) -> DataFrame:
+    """All captures of ``host`` (and, by default, its subdomains) —
+    the cc-index host query. Delimiter-correct: ``example.org``
+    matches surt keys under ``org,example)`` (the host itself) and
+    ``org,example,`` (subdomains), never ``org,examplez``. The host
+    argument is canonicalized like :func:`surt_key` canonicalizes
+    authorities (lowercase, one leading www. label, trailing dot).
+    Both branches are pushdown-friendly ranges; parquet pushes the
+    OR of the two range pairs."""
+    name = host.lower().rstrip(".")
+    if name.startswith("www."):
+        name = name[4:]
+    rev = ",".join(reversed(name.split(".")))
+    cond = _prefix_range(rev + ")")
+    if include_subdomains:
+        cond = cond | _prefix_range(rev + ",")
+    return index_df.filter(cond)

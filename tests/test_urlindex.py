@@ -7,6 +7,7 @@ import pytest
 from gleaner_spark.operators.urlindex import (
     annotate_surt,
     build_url_index,
+    lookup_prefix,
 )
 
 
@@ -176,3 +177,49 @@ class TestUrlIndex:
         ]
         flat = [k for fk in per_file for k in fk]
         assert flat == sorted(flat)
+
+    _LOOKUP_ROWS = [
+        ("org,example)/a", 1), ("org,example)/b?x=1", 2),
+        ("org,example,sub)/c", 3),       # subdomain
+        ("org,examplez)/d", 4),          # raw-prefix hit, host miss
+        ("com,other)/e", 5),
+    ]
+
+    def test_lookup_prefix_raw_string_semantics(self, spark):
+        df = spark.createDataFrame(
+            self._LOOKUP_ROWS, "surt_key string, n_captures long"
+        )
+        got = {r["surt_key"] for r in lookup_prefix(df, "org,example").collect()}
+        # raw prefix: examplez is inside the string range (documented)
+        assert got == {"org,example)/a", "org,example)/b?x=1",
+                       "org,example,sub)/c", "org,examplez)/d"}
+        # empty prefix = whole index
+        assert lookup_prefix(df, "").count() == 5
+
+    def test_lookup_host_delimiter_correct_and_pushdown(self, spark, tmp_path):
+        from gleaner_spark.operators.urlindex import lookup_host
+
+        df = spark.createDataFrame(
+            self._LOOKUP_ROWS, "surt_key string, n_captures long"
+        )
+        got = {r["surt_key"] for r in lookup_host(df, "example.org").collect()}
+        assert got == {"org,example)/a", "org,example)/b?x=1",
+                       "org,example,sub)/c"}  # examplez excluded
+        only = {r["surt_key"] for r in lookup_host(
+            df, "WWW.Example.ORG.", include_subdomains=False
+        ).collect()}
+        assert only == {"org,example)/a", "org,example)/b?x=1"}
+        sub = {r["surt_key"] for r in lookup_host(df, "sub.example.org").collect()}
+        assert sub == {"org,example,sub)/c"}
+        # pushdown: over a written index, the range pairs reach the
+        # parquet scan as PushedFilters
+        out = str(tmp_path / "idx")
+        df.repartitionByRange(2, "surt_key").sortWithinPartitions(
+            "surt_key"
+        ).write.parquet(out)
+        q = lookup_host(spark.read.parquet(out), "example.org")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(surt_key" in plan, plan
+        assert "LessThan(surt_key" in plan, plan
+        assert {r["surt_key"] for r in q.collect()} == got
