@@ -194,39 +194,63 @@ def _index_main(argv: list[str]) -> int:
     host and its subpaths land adjacent, so a host-prefix query
     touches one or two files). Prints a JSON summary."""
     ap = argparse.ArgumentParser(prog="gleaner_spark index")
-    ap.add_argument("--pages", required=True,
-                    help="pages table path (parquet) or WARC dir")
+    ap.add_argument("--pages", default=None,
+                    help="pages table path (parquet) or WARC dir; "
+                         "omit to only query an existing --out index")
     ap.add_argument("--pages-format", default="parquet",
                     choices=("parquet", "warc"))
-    ap.add_argument("--out", required=True, help="output parquet dir")
+    ap.add_argument("--out", required=True, help="index parquet dir")
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--ts-col", default="warc_ts")
     ap.add_argument("--files", type=int, default=0,
                     help="output file count (0 = one per shuffle "
                          "partition)")
+    ap.add_argument("--query-host", default=None,
+                    help="after building (or over an existing index): "
+                         "print rows for this host and its subdomains "
+                         "as JSON lines (pushdown range scan)")
+    ap.add_argument("--query-url", default=None,
+                    help="print the single index row for this exact "
+                         "URL (SURT point lookup)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if args.pages is None and not (args.query_host or args.query_url):
+        ap.error("--pages is required unless --query-host/--query-url")
 
-    from .operators.urlindex import build_url_index
+    from .operators.urlindex import build_url_index, lookup_host, surt_key_py
 
     spark = build_session("gleaner-index", master=args.master)
     _ship_package(spark)
-    if args.pages_format == "warc":
-        from .sources.warc import combine_warc_wet, read_warc
+    summary: dict = {"out": args.out}
+    if args.pages is not None:
+        if args.pages_format == "warc":
+            from .sources.warc import combine_warc_wet, read_warc
 
-        pages = combine_warc_wet(read_warc(spark, args.pages))
-    else:
-        pages = spark.read.parquet(args.pages)
-    idx = build_url_index(pages, url_col=args.url_col, ts_col=args.ts_col)
-    if args.files > 0:
-        idx = idx.repartitionByRange(args.files, "surt_key")
-    else:
-        idx = idx.repartitionByRange("surt_key")
-    idx.sortWithinPartitions("surt_key").write.mode(
-        "overwrite"
-    ).parquet(args.out)
-    n = spark.read.parquet(args.out).count()
-    print(json.dumps({"out": args.out, "index_rows": n}))
+            pages = combine_warc_wet(read_warc(spark, args.pages))
+        else:
+            pages = spark.read.parquet(args.pages)
+        idx = build_url_index(pages, url_col=args.url_col, ts_col=args.ts_col)
+        if args.files > 0:
+            idx = idx.repartitionByRange(args.files, "surt_key")
+        else:
+            idx = idx.repartitionByRange("surt_key")
+        idx.sortWithinPartitions("surt_key").write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        summary["index_rows"] = spark.read.parquet(args.out).count()
+    if args.query_host or args.query_url:
+        index_df = spark.read.parquet(args.out)
+        if args.query_host:
+            hits = lookup_host(index_df, args.query_host)
+        else:
+            key = surt_key_py(args.query_url)
+            hits = index_df.filter(index_df["surt_key"] == key) \
+                if key is not None else index_df.limit(0)
+        rows = [r.asDict() for r in hits.orderBy("surt_key").collect()]
+        for r in rows:
+            print(json.dumps(r, default=str))
+        summary["query_hits"] = len(rows)
+    print(json.dumps(summary))
     return 0
 
 

@@ -80,6 +80,37 @@ def surt_key(url_col: str = "url") -> Column:
     return F.when(auth == "", F.lit(None).cast("string")).otherwise(key)
 
 
+def surt_key_py(url: str) -> str | None:
+    """Driver-side Python twin of :func:`surt_key` for point lookups
+    (a CLI asking "do we hold captures of THIS url" shouldn't spin a
+    Spark job to canonicalize one string). Kept step-for-step
+    parallel to the column version; the test suite pins the two
+    implementations equal over a generated URL corpus, so they can't
+    drift silently."""
+    import re
+
+    u = url.lower()
+    m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]+)", u)
+    if not m:
+        return None
+    host = m.group(1)
+    host = re.sub(r"^[^@]*@", "", host)
+    host = re.sub(r"\.$", "", host)
+    host = re.sub(r":(80|443)$", "", host)
+    host = re.sub(r"^www\.", "", host)
+    pm = re.search(r":([0-9]+)$", host)
+    port = ":" + pm.group(1) if pm else ""
+    name = re.sub(r":[0-9]+$", "", host)
+    rev = ",".join(reversed(name.split("."))) + port
+    tm = re.match(r"^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$", u)
+    tail = tm.group(1) if tm else ""
+    path = re.match(r"^([^?#]*)", tail).group(1) or "/"
+    qm = re.search(r"\?([^#]*)", tail)
+    query = qm.group(1) if qm else ""
+    qpart = "?" + "&".join(sorted(query.split("&"))) if query else ""
+    return rev + ")" + path + qpart
+
+
 def annotate_surt(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Add a ``surt_key`` column — zero exchanges, codegen only."""
     return df.withColumn("surt_key", surt_key(url_col))
@@ -149,7 +180,11 @@ def lookup_host(
     name = host.lower().rstrip(".")
     if name.startswith("www."):
         name = name[4:]
-    rev = ",".join(reversed(name.split(".")))
+    port = ""
+    if ":" in name:
+        name, _, p = name.rpartition(":")
+        port = "" if p in ("80", "443") else ":" + p
+    rev = ",".join(reversed(name.split("."))) + port
     cond = _prefix_range(rev + ")")
     if include_subdomains:
         cond = cond | _prefix_range(rev + ",")

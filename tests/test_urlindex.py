@@ -74,6 +74,39 @@ class TestSurtKey:
         assert "*(1)" in plan, plan
 
 
+class TestSurtPyTwin:
+    def test_differential_vs_column_version(self, spark):
+        """The driver-side Python twin must equal the column version
+        key-for-key over a varied URL corpus (scheme × host-noise ×
+        tail-noise grid plus junk/case vectors) — the pin that keeps
+        the two implementations from drifting."""
+        import itertools
+
+        from gleaner_spark.operators.urlindex import surt_key_py
+
+        hosts = [
+            "example.org", "www.example.org", "a.b.example.co.uk",
+            "x.example.org:8080", "example.org:443", "example.org:80",
+            "user:pw@w.example.net.", "wwww.example.org",
+            "www.www.example.org",
+        ]
+        tails = [
+            "", "/", "/p", "/p/q/", "/p?b=2&a=1", "/p?a=1", "?z=1",
+            "/p#f", "/p?b=2&a=1#f", "/p?x", "/p?", "/P/Q?B=2&A=1#F",
+        ]
+        urls = [
+            s + h + t
+            for s, h, t in itertools.product(
+                ["https://", "http://", "ftp://"], hosts, tails
+            )
+        ]
+        urls += ["not-a-url", "/rel/path", "mailto:a@b.c",
+                 "HTTPS://USER:PW@WWW.EXAMPLE.ORG:443/UP?B=2&A=1#FRAG"]
+        col = _keys(spark, urls)
+        for u in urls:
+            assert col[u] == surt_key_py(u), (u, col[u], surt_key_py(u))
+
+
 class TestUrlIndex:
     def _captures(self, spark):
         rows = [
@@ -211,6 +244,18 @@ class TestUrlIndex:
         assert only == {"org,example)/a", "org,example)/b?x=1"}
         sub = {r["surt_key"] for r in lookup_host(df, "sub.example.org").collect()}
         assert sub == {"org,example,sub)/c"}
+        # port canonicalization mirrors surt_key: default ports drop,
+        # non-default ports ride after the reversed labels
+        pdf = spark.createDataFrame(
+            [("org,example:8443)/p", 1), ("org,example)/p", 2)],
+            "surt_key string, n_captures long",
+        )
+        assert {r["surt_key"] for r in lookup_host(
+            pdf, "example.org:8443"
+        ).collect()} == {"org,example:8443)/p"}
+        assert {r["surt_key"] for r in lookup_host(
+            pdf, "example.org:443"
+        ).collect()} == {"org,example)/p"}
         # pushdown: over a written index, the range pairs reach the
         # parquet scan as PushedFilters
         out = str(tmp_path / "idx")
@@ -223,3 +268,40 @@ class TestUrlIndex:
         assert "GreaterThanOrEqual(surt_key" in plan, plan
         assert "LessThan(surt_key" in plan, plan
         assert {r["surt_key"] for r in q.collect()} == got
+
+    def test_cli_query_modes(self, spark, tmp_path, capsys):
+        """--query-host / --query-url over a written index: JSON-line
+        hits plus a summary, without rebuilding when --pages is
+        omitted."""
+        import json
+
+        from gleaner_spark.__main__ import main
+
+        pq = str(tmp_path / "pages")
+        spark.createDataFrame(
+            [(f"https://www.h{i % 3}.example/p{i}?b=2&a=1", 1000 + i)
+             for i in range(30)],
+            "url string, warc_ts long",
+        ).write.parquet(pq)
+        out = str(tmp_path / "idx")
+        assert main(["index", "--pages", pq, "--out", out]) == 0
+        capsys.readouterr()
+        # host query over the existing index (no --pages)
+        assert main(["index", "--out", out, "--query-host",
+                     "h1.example"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        summary = json.loads(lines[-1])
+        hits = [json.loads(l) for l in lines[:-1]]
+        assert summary["query_hits"] == len(hits) == 10
+        assert all(h["surt_key"].startswith("example,h1)") for h in hits)
+        # exact-URL point lookup through the Python twin
+        assert main(["index", "--out", out, "--query-url",
+                     "https://h1.example:443/p1?a=1&b=2"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert json.loads(lines[-1])["query_hits"] == 1
+        assert json.loads(lines[0])["n_captures"] == 1
+        # junk URL: zero hits, no crash
+        assert main(["index", "--out", out, "--query-url", "junk"]) == 0
+        assert json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["query_hits"] == 0
