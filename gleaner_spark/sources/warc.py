@@ -10,11 +10,12 @@ the rest of the engine consumes, so a user can point the harvest at a
 crawl archive instead of a parquet table:
 
 - ``response`` records (WARC files): the payload is a full HTTP
-  response; the HTTP status line and headers are stripped, 2xx bodies
-  land in ``html`` and the HTTP ``Content-Type`` in ``content_type``.
-  Non-2xx responses are dropped (the fetch operator's success
-  semantics — only 200-class bodies are summoned, acquire.go's
-  resp.StatusCode handling).
+  response; the HTTP status line and headers are stripped, chunked
+  transfer framing and gzip/deflate content codings are undone
+  (WARC stores the wire bytes), 2xx bodies land in ``html`` and the
+  HTTP ``Content-Type`` in ``content_type``. Non-2xx responses are
+  dropped (the fetch operator's success semantics — only 200-class
+  bodies are summoned, acquire.go's resp.StatusCode handling).
 - ``conversion`` records (WET files): CC's extracted-text sidecars;
   the payload lands in ``text`` (the column the headless fallback
   reads), ``html`` stays null.
@@ -140,10 +141,60 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         pos = body_start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode a ``Transfer-Encoding: chunked`` HTTP body (hex-size
+    line, CRLF, chunk bytes, CRLF, …, 0-chunk; trailers ignored).
+    Malformed framing returns the bytes decoded so far plus nothing —
+    never raises (log-and-continue posture, S34)."""
+    out = io.BytesIO()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = eol + 2
+        if start + size > n:
+            break  # torn chunk
+        out.write(body[start : start + size])
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+    return out.getvalue()
+
+
+def _decode_body(headers: dict[str, str], body: bytes) -> bytes:
+    """Undo transfer/content codings a real crawl's raw-HTTP capture
+    carries (WARC stores the wire bytes): chunked framing first, then
+    gzip/deflate content encoding. Unknown or broken codings keep the
+    raw bytes — a wrong-but-present body beats a dropped capture."""
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").strip().lower()
+    if enc in ("gzip", "x-gzip", "deflate"):
+        try:
+            if enc == "deflate":
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:  # raw-deflate servers (no zlib wrapper)
+                    body = zlib.decompress(body, wbits=-15)
+            else:
+                body = zlib.decompress(body, wbits=31)
+        except zlib.error:
+            pass  # keep raw bytes
+    return body
+
+
 def _split_http_payload(block: bytes) -> tuple[int, str | None, bytes]:
     """HTTP response payload → (status, content_type, body). A block
     that isn't an HTTP message (identity payloads) passes through as
-    status 200 with no type."""
+    status 200 with no type. Chunked framing and gzip/deflate content
+    codings are undone (see _decode_body)."""
     if not block.startswith(b"HTTP/"):
         return 200, None, block
     end = block.find(_SEP)
@@ -157,8 +208,9 @@ def _split_http_payload(block: bytes) -> tuple[int, str | None, bytes]:
         status = int(parts[1])
     except (IndexError, ValueError):
         status = 0
-    ctype = _parse_header_block(head).get("content-type")
-    return status, ctype, block[end + len(_SEP):]
+    http_headers = _parse_header_block(head)
+    body = _decode_body(http_headers, block[end + len(_SEP):])
+    return status, http_headers.get("content-type"), body
 
 
 def _parse_warc_date(v: str | None) -> dt.datetime | None:

@@ -52,6 +52,50 @@ class TestWarcBytes:
             assert conv["text"] == "x body"
             assert conv["content_type"] == "text/plain"
 
+    def test_chunked_and_content_encoded_bodies_decoded(self):
+        """Real crawls store wire bytes: chunked framing and gzip /
+        deflate content codings must be undone; broken codings keep
+        the raw bytes instead of dropping the capture."""
+        def rec(http: bytes) -> bytes:
+            head = (
+                "WARC/1.1\r\nWARC-Type: response\r\n"
+                "WARC-Target-URI: https://a.example/enc\r\n"
+                "WARC-Date: 2024-01-01T00:00:05Z\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode()
+            return head + http + b"\r\n\r\n"
+
+        body = b"<html>decoded!</html>"
+        chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+                   b"Content-Type: text/html\r\n\r\n"
+                   + b"6\r\n" + body[:6] + b"\r\n"
+                   + hex(len(body) - 6)[2:].encode() + b"\r\n"
+                   + body[6:] + b"\r\n0\r\n\r\n")
+        gz = gzip.compress(body, mtime=0)
+        gzipped = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+                   b"Content-Type: text/html\r\n\r\n" + gz)
+        import zlib as _z
+
+        deflated = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+                    b"Content-Type: text/html\r\n\r\n" + _z.compress(body))
+        co = _z.compressobj(wbits=-15)
+        raw_deflate = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+                       b"Content-Type: text/html\r\n\r\n"
+                       + co.compress(body) + co.flush())
+        both = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+                b"Content-Encoding: gzip\r\nContent-Type: text/html\r\n\r\n"
+                + hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n")
+        broken = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+                  b"Content-Type: text/html\r\n\r\nNOTGZIP")
+        for http in (chunked, gzipped, deflated, both):
+            (row,) = pages_rows_from_archive(rec(http))
+            assert row["html"] == body, http[:40]
+        # raw-deflate (no zlib wrapper) also decodes
+        (row,) = pages_rows_from_archive(rec(raw_deflate))
+        assert row["html"] == body
+        (row,) = pages_rows_from_archive(rec(broken))
+        assert row["html"] == b"NOTGZIP"  # kept raw, not dropped
+
     def test_non_2xx_responses_dropped(self):
         data = build_warc_bytes([_row(text=None)])
         data = data.replace(b"HTTP/1.1 200 OK", b"HTTP/1.1 404 NF")
