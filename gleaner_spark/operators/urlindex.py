@@ -141,6 +141,27 @@ def build_url_index(
     )
 
 
+def merge_url_index(*indexes: DataFrame) -> DataFrame:
+    """Merge per-crawl capture indexes (CC publishes one index per
+    monthly crawl; a multi-crawl archive queries their union): counts
+    add, capture windows widen, the sample URL stays the bytewise
+    min — so merging N crawls' indexes is exactly equal to indexing
+    their concatenated captures (associativity pinned by test). One
+    union + one partial-agg exchange; at 10^9 rows per crawl this is
+    the same shuffle shape as a single build."""
+    if not indexes:
+        raise ValueError("merge_url_index needs at least one index")
+    df = indexes[0]
+    for other in indexes[1:]:
+        df = df.unionByName(other)
+    return df.groupBy("surt_key").agg(
+        F.sum("n_captures").alias("n_captures"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+        F.min("url").alias("url"),
+    )
+
+
 def _prefix_range(surt_prefix: str) -> Column:
     """``surt_key`` is bytewise inside the raw string-prefix range.
     Expressed as a pair of range predicates (``>= p`` and ``< p+1``)

@@ -269,6 +269,32 @@ class TestUrlIndex:
         assert "LessThan(surt_key" in plan, plan
         assert {r["surt_key"] for r in q.collect()} == got
 
+    def test_merge_equals_index_of_concatenation(self, spark):
+        """merge(index(A), index(B)) must equal index(A ∪ B) row for
+        row — the associativity that makes per-crawl indexes safe to
+        build independently and merge later."""
+        from gleaner_spark.operators.urlindex import merge_url_index
+
+        def caps(lo, hi, step=1):
+            return spark.createDataFrame(
+                [(f"https://www.h{i % 7}.example/p{i % 13}?b=2&a=1", i)
+                 for i in range(lo, hi, step)],
+                "url string, warc_ts long",
+            )
+
+        a, b = caps(0, 60), caps(40, 120)  # overlapping capture sets
+        merged = merge_url_index(build_url_index(a), build_url_index(b))
+        direct = build_url_index(a.unionByName(b))
+        assert sorted(
+            (r["surt_key"], r["n_captures"], r["first_ts"],
+             r["last_ts"], r["url"]) for r in merged.collect()
+        ) == sorted(
+            (r["surt_key"], r["n_captures"], r["first_ts"],
+             r["last_ts"], r["url"]) for r in direct.collect()
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "partial" in plan.lower(), plan
+
     def test_cli_query_modes(self, spark, tmp_path, capsys):
         """--query-host / --query-url over a written index: JSON-line
         hits plus a summary, without rebuilding when --pages is
