@@ -205,6 +205,14 @@ def _index_main(argv: list[str]) -> int:
     ap.add_argument("--files", type=int, default=0,
                     help="output file count (0 = one per shuffle "
                          "partition)")
+    ap.add_argument("--per-capture", action="store_true",
+                    help="one row per capture (the cc-index/CDXJ "
+                         "granularity, with a SHA-1 digest) instead "
+                         "of per-key aggregation")
+    ap.add_argument("--format", dest="out_format", default="parquet",
+                    choices=("parquet", "cdxj"),
+                    help="cdxj = sorted '<surt> <ts> <json>' text "
+                         "lines (implies --per-capture)")
     ap.add_argument("--query-host", default=None,
                     help="after building (or over an existing index): "
                          "print rows for this host and its subdomains "
@@ -217,7 +225,13 @@ def _index_main(argv: list[str]) -> int:
     if args.pages is None and not (args.query_host or args.query_url):
         ap.error("--pages is required unless --query-host/--query-url")
 
-    from .operators.urlindex import build_url_index, lookup_host, surt_key_py
+    from .operators.urlindex import (
+        build_capture_index,
+        build_url_index,
+        lookup_host,
+        surt_key_py,
+        to_cdxj_lines,
+    )
 
     spark = build_session("gleaner-index", master=args.master)
     _ship_package(spark)
@@ -229,15 +243,28 @@ def _index_main(argv: list[str]) -> int:
             pages = combine_warc_wet(read_warc(spark, args.pages))
         else:
             pages = spark.read.parquet(args.pages)
-        idx = build_url_index(pages, url_col=args.url_col, ts_col=args.ts_col)
-        if args.files > 0:
-            idx = idx.repartitionByRange(args.files, "surt_key")
+        per_capture = args.per_capture or args.out_format == "cdxj"
+        if per_capture:
+            idx = build_capture_index(
+                pages, url_col=args.url_col, ts_col=args.ts_col
+            )
+            sort_cols = ["surt_key", "ts"]
         else:
-            idx = idx.repartitionByRange("surt_key")
-        idx.sortWithinPartitions("surt_key").write.mode(
-            "overwrite"
-        ).parquet(args.out)
-        summary["index_rows"] = spark.read.parquet(args.out).count()
+            idx = build_url_index(
+                pages, url_col=args.url_col, ts_col=args.ts_col
+            )
+            sort_cols = ["surt_key"]
+        if args.files > 0:
+            idx = idx.repartitionByRange(args.files, *sort_cols)
+        else:
+            idx = idx.repartitionByRange(*sort_cols)
+        idx = idx.sortWithinPartitions(*sort_cols)
+        if args.out_format == "cdxj":
+            to_cdxj_lines(idx).write.mode("overwrite").text(args.out)
+            summary["index_rows"] = spark.read.text(args.out).count()
+        else:
+            idx.write.mode("overwrite").parquet(args.out)
+            summary["index_rows"] = spark.read.parquet(args.out).count()
     if args.query_host or args.query_url:
         index_df = spark.read.parquet(args.out)
         if args.query_host:

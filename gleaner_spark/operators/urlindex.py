@@ -141,6 +141,47 @@ def build_url_index(
     )
 
 
+def build_capture_index(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts",
+    digest_col: str | None = "html",
+) -> DataFrame:
+    """Per-capture index — the actual cc-index/CDXJ granularity (one
+    row per capture, not per key): (surt_key, ts, url, digest).
+    ``digest`` is the hex SHA-1 of ``digest_col`` when that column
+    exists (CC's CDXJ carries a base32 SHA-1; hex here, documented —
+    same identity, different alphabet), NULL otherwise. No
+    aggregation: zero exchanges until the caller sorts for layout."""
+    cols = [
+        surt_key(url_col).alias("surt_key"),
+        F.col(ts_col).alias("ts"),
+        F.col(url_col).alias("url"),
+    ]
+    if digest_col and digest_col in df.columns:
+        cols.append(F.sha1(F.col(digest_col)).alias("digest"))
+    else:
+        cols.append(F.lit(None).cast("string").alias("digest"))
+    return df.select(*cols)
+
+
+def to_cdxj_lines(capture_index: DataFrame) -> DataFrame:
+    """CDXJ text lines (``<surt> <ts> <json>``) from a per-capture
+    index — the interchange format CDX servers and pywb consume.
+    Timestamps render as CDX's yyyyMMddHHmmss when ``ts`` is a
+    timestamp, else as their string form. One ``value`` column;
+    write with ``.write.text`` after a range-partition + sort on
+    (surt_key, ts) for the canonical sorted layout."""
+    ts_t = dict(capture_index.dtypes)["ts"]
+    ts_str = (
+        F.date_format("ts", "yyyyMMddHHmmss")
+        if ts_t.startswith("timestamp")
+        else F.col("ts").cast("string")
+    )
+    payload = F.to_json(F.struct("url", "digest"))
+    return capture_index.select(
+        F.concat_ws(" ", "surt_key", ts_str, payload).alias("value")
+    )
+
+
 def merge_url_index(*indexes: DataFrame) -> DataFrame:
     """Merge per-crawl capture indexes (CC publishes one index per
     monthly crawl; a multi-crawl archive queries their union): counts

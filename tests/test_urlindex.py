@@ -269,6 +269,52 @@ class TestUrlIndex:
         assert "LessThan(surt_key" in plan, plan
         assert {r["surt_key"] for r in q.collect()} == got
 
+    def test_capture_index_and_cdxj(self, spark, tmp_path, capsys):
+        """--per-capture / --format cdxj: one row per capture with a
+        SHA-1 digest, exported as globally-sorted CDXJ text lines."""
+        import hashlib
+        import json
+        import datetime as dtm
+        import glob as g
+
+        from gleaner_spark.__main__ import main
+        from gleaner_spark.operators.urlindex import build_capture_index
+
+        pq = str(tmp_path / "pages")
+        spark.createDataFrame(
+            [(f"https://www.h{i % 3}.example/p{i}",
+              dtm.datetime(2024, 1, 1, 0, 0, i),
+              b"body-%d" % i)
+             for i in range(12)],
+            "url string, warc_ts timestamp, html binary",
+        ).write.parquet(pq)
+        # unit: digest + zero-exchange plan
+        cap = build_capture_index(spark.read.parquet(pq))
+        plan = cap._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        row = cap.filter(cap["url"] == "https://www.h1.example/p1").collect()[0]
+        assert row["digest"] == hashlib.sha1(b"body-1").hexdigest()
+        assert row["surt_key"] == "example,h1)/p1"
+        # CLI: cdxj export, sorted layout
+        out = tmp_path / "cdxj"
+        assert main(["index", "--pages", pq, "--out", str(out),
+                     "--format", "cdxj", "--files", "2"]) == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["index_rows"] == 12
+        files = sorted(g.glob(str(out / "part-*")))
+        assert len(files) == 2
+        lines = []
+        for f in files:
+            lines += open(f).read().splitlines()
+        assert len(lines) == 12
+        keys = [(l.split(" ")[0], l.split(" ")[1]) for l in lines]
+        assert keys == sorted(keys)  # globally sorted (surt, ts)
+        surt, ts, payload = lines[0].split(" ", 2)
+        assert ts == "20240101000000" or len(ts) == 14
+        rec = json.loads(payload)
+        assert rec["url"].startswith("https://www.h0.example/")
+        assert len(rec["digest"]) == 40
+
     def test_merge_equals_index_of_concatenation(self, spark):
         """merge(index(A), index(B)) must equal index(A ∪ B) row for
         row — the associativity that makes per-crawl indexes safe to
