@@ -42,7 +42,7 @@ hazard beyond what AQE already handles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # scheme://authority — authority ends at the first /, ?, or #
@@ -180,6 +180,35 @@ def to_cdxj_lines(capture_index: DataFrame) -> DataFrame:
     return capture_index.select(
         F.concat_ws(" ", "surt_key", ts_str, payload).alias("value")
     )
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """Read CDXJ index files (``<surt> <ts> <json>`` lines — the
+    format CC publishes its index shards in, and what
+    :func:`to_cdxj_lines` writes) into a per-capture DataFrame:
+    (surt_key, ts: timestamp — NULL when not CDX's 14-digit form,
+    ts_raw, url, digest). Pure line parsing, zero exchanges;
+    :func:`lookup_host` / :func:`lookup_prefix` apply directly, and
+    text scans still prune by the pushed range when the files are
+    sorted (Spark collects no min/max stats for text, but the
+    filter itself stays JVM-side)."""
+    v = F.col("value")
+    parts = F.split(v, " ", 3)
+    # try_element_at: short/blank lines yield NULL fields, not errors
+    surt = F.try_element_at(parts, F.lit(1))
+    ts_raw = F.try_element_at(parts, F.lit(2))
+    payload = F.try_element_at(parts, F.lit(3))
+    j = F.from_json(payload, "url string, digest string")
+    return spark.read.text(path).select(
+        surt.alias("surt_key"),
+        F.when(
+            ts_raw.rlike("^[0-9]{14}$"),
+            F.to_timestamp(ts_raw, "yyyyMMddHHmmss"),
+        ).alias("ts"),
+        ts_raw.alias("ts_raw"),
+        j["url"].alias("url"),
+        j["digest"].alias("digest"),
+    ).filter(surt.isNotNull() & (surt != ""))
 
 
 def merge_url_index(*indexes: DataFrame) -> DataFrame:

@@ -315,6 +315,47 @@ class TestUrlIndex:
         assert rec["url"].startswith("https://www.h0.example/")
         assert len(rec["digest"]) == 40
 
+    def test_cdxj_round_trip_and_lookup(self, spark, tmp_path, capsys):
+        """to_cdxj_lines → read_cdxj round-trips the capture index,
+        and lookup_host applies directly to the parsed frame (the
+        consume-real-cc-index path)."""
+        import datetime as dtm
+        import json
+
+        from gleaner_spark.__main__ import main
+        from gleaner_spark.operators.urlindex import lookup_host, read_cdxj
+
+        pq = str(tmp_path / "pages")
+        rows = [(f"https://h{i % 3}.example/p{i}",
+                 dtm.datetime(2024, 1, 1, 0, 0, i), b"b%d" % i)
+                for i in range(12)]
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary"
+        ).write.parquet(pq)
+        out = tmp_path / "cdxj"
+        assert main(["index", "--pages", pq, "--out", str(out),
+                     "--format", "cdxj"]) == 0
+        capsys.readouterr()
+        back = read_cdxj(spark, str(out))
+        got = {(r["surt_key"], r["ts"], r["url"], r["digest"])
+               for r in back.collect()}
+        assert len(got) == 12
+        import hashlib
+
+        assert ("example,h1)/p1", dtm.datetime(2024, 1, 1, 0, 0, 1),
+                "https://h1.example/p1",
+                hashlib.sha1(b"b1").hexdigest()) in got
+        hits = lookup_host(back, "h2.example").collect()
+        assert {r["url"] for r in hits} == {
+            u for u, _, _ in rows if u.startswith("https://h2")
+        }
+        # malformed/blank lines are skipped, not fatal
+        (out / "junk.txt").write_text("\n\nnot-cdxj\n")
+        n = read_cdxj(spark, str(out)).count()
+        assert n == 13  # 12 good + "not-cdxj" parsed as surt-only
+        bad = read_cdxj(spark, str(out)).filter("url is null").collect()
+        assert len(bad) == 1 and bad[0]["ts"] is None
+
     def test_merge_equals_index_of_concatenation(self, spark):
         """merge(index(A), index(B)) must equal index(A ∪ B) row for
         row — the associativity that makes per-crawl indexes safe to
