@@ -579,6 +579,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("surt_key", "n_captures", "first_ts", "last_ts", "url")
     q["url_index"] = url_index
 
+    # ---- crawl index: month-over-month crawl diff ----
+    # two synthetic crawls over the same key space: 10% of keys left
+    # the web (gone), ~11% are newly crawled (new), a third of the
+    # overlap changed digests, the rest are identical
+    def crawl_diff(spark, sf):
+        from gleaner_spark.operators.urlindex import diff_crawls
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        key = F.concat(F.lit("org,example)/p/"), F.col("doc_id").cast("string"))
+        old = d.filter(F.col("doc_id") % 10 != 0).select(
+            key.alias("surt_key"),
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("digest"),
+        )
+        new = d.filter(F.col("doc_id") % 9 != 0).select(
+            key.alias("surt_key"),
+            F.concat(
+                F.lit("d"),
+                F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") + 1000000)
+                .otherwise(F.col("doc_id")).cast("string"),
+            ).alias("digest"),
+        )
+        return diff_crawls(old, new)
+    q["crawl_diff"] = crawl_diff
+
     # ---- text: corpus-trained unigram NLL (CCNet LM-filter analog) ----
     def text_nll(spark, sf):
         return TX.unigram_nll(_t(spark, sf, "documents")).select(
@@ -1202,6 +1226,28 @@ FROM r
     # operators/urlindex.surt_key, replayed step-for-step (userinfo,
     # trailing dot, default ports, one www. label, port after the
     # reversed labels, sorted query params, fragment dropped)
+    # crawl diff: full-outer join of two synthesized crawls' digests
+    o["crawl_diff"] = """
+WITH d AS (SELECT doc_id FROM documents),
+old AS (
+  SELECT 'org,example)/p/' || CAST(doc_id AS VARCHAR) AS surt_key,
+         'd' || CAST(doc_id AS VARCHAR) AS digest
+  FROM d WHERE doc_id % 10 <> 0),
+new AS (
+  SELECT 'org,example)/p/' || CAST(doc_id AS VARCHAR) AS surt_key,
+         'd' || CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id + 1000000
+                          ELSE doc_id END AS VARCHAR) AS digest
+  FROM d WHERE doc_id % 9 <> 0)
+SELECT COALESCE(old.surt_key, new.surt_key) AS surt_key,
+       CASE WHEN old.digest IS NULL THEN 'new'
+            WHEN new.digest IS NULL THEN 'gone'
+            WHEN old.digest = new.digest THEN 'same'
+            ELSE 'changed' END AS status,
+       old.digest AS old_digest,
+       new.digest AS new_digest
+FROM old FULL OUTER JOIN new ON old.surt_key = new.surt_key
+"""
+
     o["url_index"] = """
 WITH u AS (
   SELECT CASE WHEN doc_id % 17 = 0 THEN 'page-' || CAST(doc_id AS VARCHAR)

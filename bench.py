@@ -447,7 +447,8 @@ def main() -> None:
                      "text_redact", "corpus_rollup", "decontaminate",
                      "text_repetition", "corpus_resample",
                      "corpus_token_budget", "corpus_shuffle", "url_filter",
-                     "span_dedup", "text_nll", "text_tf_embed", "url_index"):
+                     "span_dedup", "text_nll", "text_tf_embed", "url_index",
+                     "crawl_diff"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:

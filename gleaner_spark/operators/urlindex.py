@@ -211,6 +211,43 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
     ).filter(surt.isNotNull() & (surt != ""))
 
 
+def latest_captures(capture_index: DataFrame) -> DataFrame:
+    """Latest capture per surt_key from a per-capture index:
+    (surt_key, digest, ts) where digest belongs to the most recent
+    capture (ties on ts broken by max digest, so the reduction is
+    deterministic and partition-invariant). One partial-agg exchange
+    — max_by folds map-side like any min/max."""
+    pair = F.struct(F.col("ts"), F.col("digest"))
+    return capture_index.groupBy("surt_key").agg(
+        F.max_by("digest", pair).alias("digest"),
+        F.max("ts").alias("ts"),
+    )
+
+
+def diff_crawls(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Crawl delta — what changed between two crawls of the same
+    web (the monthly-crawl diff every CC consumer computes before
+    re-processing): full-outer join of per-key latest digests →
+    status ``new`` (key only in the new crawl), ``gone`` (only in
+    the old), ``changed`` (digest differs), ``same``. Inputs are
+    (surt_key, digest) frames — :func:`latest_captures` output.
+    One co-partitioned shuffle join on the high-cardinality
+    surt_key; downstream re-processing filters on status, so at
+    10^9 keys the common ``same`` majority never leaves the join's
+    output pruning."""
+    o = old.select("surt_key", F.col("digest").alias("old_digest"))
+    n = new.select("surt_key", F.col("digest").alias("new_digest"))
+    j = o.join(n, "surt_key", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("new"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("surt_key", status.alias("status"),
+                    "old_digest", "new_digest")
+
+
 def merge_url_index(*indexes: DataFrame) -> DataFrame:
     """Merge per-crawl capture indexes (CC publishes one index per
     monthly crawl; a multi-crawl archive queries their union): counts

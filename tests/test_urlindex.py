@@ -356,6 +356,35 @@ class TestUrlIndex:
         bad = read_cdxj(spark, str(out)).filter("url is null").collect()
         assert len(bad) == 1 and bad[0]["ts"] is None
 
+    def test_latest_captures_and_crawl_diff(self, spark):
+        from gleaner_spark.operators.urlindex import (
+            diff_crawls,
+            latest_captures,
+        )
+
+        old_caps = spark.createDataFrame(
+            [("k1", 10, "a"), ("k1", 20, "b"),       # latest wins: b
+             ("k2", 5, "x"), ("k3", 7, "z"),
+             ("k4", 9, "t"), ("k4", 9, "s")],        # ts tie: max digest t
+            "surt_key string, ts long, digest string",
+        )
+        new_caps = spark.createDataFrame(
+            [("k1", 30, "b"),                         # same digest
+             ("k2", 40, "x2"),                        # changed
+             ("k5", 50, "q"),                         # new key
+             ("k4", 60, "t")],                        # same (tie winner)
+            "surt_key string, ts long, digest string",
+        )
+        old = latest_captures(old_caps)
+        assert {(r["surt_key"], r["digest"]) for r in old.collect()} == {
+            ("k1", "b"), ("k2", "x"), ("k3", "z"), ("k4", "t")
+        }
+        d = {r["surt_key"]: r["status"] for r in diff_crawls(
+            old, latest_captures(new_caps)
+        ).collect()}
+        assert d == {"k1": "same", "k2": "changed", "k3": "gone",
+                     "k4": "same", "k5": "new"}
+
     def test_merge_equals_index_of_concatenation(self, spark):
         """merge(index(A), index(B)) must equal index(A ∪ B) row for
         row — the associativity that makes per-crawl indexes safe to
