@@ -603,6 +603,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return diff_crawls(old, new)
     q["crawl_diff"] = crawl_diff
 
+    # ---- crawl index: per-host rollup (same synthesized captures
+    # as url_index, aggregated one level up) ----
+    def host_stats(spark, sf):
+        from gleaner_spark.operators.urlindex import annotate_surt
+        from gleaner_spark.operators.urlindex import host_stats as HS
+
+        d = _t(spark, sf, "documents")
+        hosts = F.array(
+            F.lit("www.News.example.org"), F.lit("news.example.org:443"),
+            F.lit("user:pw@blog.example.org."), F.lit("cdn.example.net:8080"),
+            F.lit("shop.example.com"),
+        )
+        did = F.col("doc_id")
+        url = F.when(
+            did % 17 == 0, F.concat(F.lit("page-"), did.cast("string"))
+        ).otherwise(F.concat(
+            F.lit("https://"),
+            F.element_at(hosts, (did % 5 + 1).cast("int")),
+            F.when(did % 7 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/a/"), (did % 41).cast("string"))),
+            F.when(did % 3 == 0, F.lit("?b=2&a=1"))
+            .when(did % 3 == 1, F.lit("?z=9#frag"))
+            .otherwise(F.lit("")),
+        ))
+        ts = (F.lit(1704067200) + did % 997).cast("long")
+        caps = annotate_surt(
+            d.select(url.alias("url"), ts.alias("ts"))
+        )
+        return HS(caps).select(
+            "host_key", "n_captures", "n_urls", "first_ts", "last_ts"
+        )
+    q["host_stats"] = host_stats
+
     # ---- text: corpus-trained unigram NLL (CCNet LM-filter analog) ----
     def text_nll(spark, sf):
         return TX.unigram_nll(_t(spark, sf, "documents")).select(
@@ -1226,6 +1259,72 @@ FROM r
     # operators/urlindex.surt_key, replayed step-for-step (userinfo,
     # trailing dot, default ports, one www. label, port after the
     # reversed labels, sorted query params, fragment dropped)
+    # per-host rollup: same SURT chain as url_index, aggregated by
+    # the reversed-host prefix before ')'
+    o["host_stats"] = """
+WITH u AS (
+  SELECT CASE WHEN doc_id % 17 = 0 THEN 'page-' || CAST(doc_id AS VARCHAR)
+         ELSE 'https://'
+           || (['www.News.example.org','news.example.org:443',
+                'user:pw@blog.example.org.','cdn.example.net:8080',
+                'shop.example.com'])[CAST(doc_id % 5 AS INT) + 1]
+           || (CASE WHEN doc_id % 7 = 0 THEN ''
+               ELSE '/a/' || CAST(doc_id % 41 AS VARCHAR) END)
+           || (CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1'
+                    WHEN doc_id % 3 = 1 THEN '?z=9#frag'
+                    ELSE '' END)
+         END AS url,
+         1704067200 + doc_id % 997 AS ts
+  FROM documents),
+p AS (
+  SELECT url, ts, lower(url) AS lu,
+         regexp_extract(lower(url),
+                        '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS auth,
+         regexp_extract(lower(url),
+                        '^[a-z][a-z0-9+.-]*://[^/?#]+(.*)$', 1) AS tail
+  FROM u),
+h AS (
+  SELECT url, ts, auth, tail,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(auth, '^[^@]*@', ''),
+               '\\.$', ''),
+             ':(80|443)$', ''),
+           '^www\\.', '') AS host
+  FROM p),
+k AS (
+  SELECT url, ts,
+         CASE WHEN auth = '' THEN NULL ELSE
+           array_to_string(
+             list_reverse(
+               string_split(regexp_replace(host, ':[0-9]+$', ''), '.')),
+             ',')
+           || (CASE WHEN regexp_extract(host, ':([0-9]+)$', 1) <> ''
+               THEN ':' || regexp_extract(host, ':([0-9]+)$', 1)
+               ELSE '' END)
+           || ')'
+           || (CASE WHEN regexp_extract(tail, '^([^?#]*)', 1) = ''
+               THEN '/' ELSE regexp_extract(tail, '^([^?#]*)', 1) END)
+           || (CASE WHEN regexp_extract(tail, '\\?([^#]*)', 1) <> ''
+               THEN '?' || array_to_string(
+                 list_sort(
+                   string_split(
+                     regexp_extract(tail, '\\?([^#]*)', 1), '&')),
+                 '&')
+               ELSE '' END)
+         END AS surt_key
+  FROM h)
+SELECT split_part(surt_key, ')', 1) AS host_key,
+       CAST(count(*) AS BIGINT) AS n_captures,
+       CAST(count(DISTINCT surt_key) AS BIGINT) AS n_urls,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM k
+WHERE surt_key IS NOT NULL
+GROUP BY 1
+"""
+
     # crawl diff: full-outer join of two synthesized crawls' digests
     o["crawl_diff"] = """
 WITH d AS (SELECT doc_id FROM documents),

@@ -211,6 +211,28 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
     ).filter(surt.isNotNull() & (surt != ""))
 
 
+def host_stats(capture_index: DataFrame) -> DataFrame:
+    """Per-host crawl rollup over a per-capture index: captures,
+    distinct URLs, first/last capture time, keyed by the surt host
+    part (the reversed-label prefix before ``)``, so subdomains stay
+    distinct hosts and the output sorts host-adjacently like the
+    index itself). count(DISTINCT surt_key) is the exact two-phase
+    aggregate — partial distinct per partition, then the merge — the
+    standard Catalyst expansion; everything else folds map-side."""
+    host = F.substring_index(F.col("surt_key"), ")", 1)
+    return (
+        capture_index
+        .filter(F.col("surt_key").isNotNull())
+        .groupBy(host.alias("host_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.countDistinct("surt_key").alias("n_urls"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
 def latest_captures(capture_index: DataFrame) -> DataFrame:
     """Latest capture per surt_key from a per-capture index:
     (surt_key, digest, ts) where digest belongs to the most recent

@@ -356,6 +356,23 @@ class TestUrlIndex:
         bad = read_cdxj(spark, str(out)).filter("url is null").collect()
         assert len(bad) == 1 and bad[0]["ts"] is None
 
+    def test_host_stats(self, spark):
+        from gleaner_spark.operators.urlindex import host_stats
+
+        caps = spark.createDataFrame(
+            [("org,example)/a", 10), ("org,example)/a", 20),
+             ("org,example)/b", 30), ("org,example,sub)/c", 5),
+             (None, 1)],
+            "surt_key string, ts long",
+        )
+        got = {r["host_key"]: (r["n_captures"], r["n_urls"],
+                               r["first_ts"], r["last_ts"])
+               for r in host_stats(caps).collect()}
+        assert got == {
+            "org,example": (3, 2, 10, 30),       # 3 captures, 2 urls
+            "org,example,sub": (1, 1, 5, 5),     # subdomain separate
+        }
+
     def test_latest_captures_and_crawl_diff(self, spark):
         from gleaner_spark.operators.urlindex import (
             diff_crawls,
