@@ -636,6 +636,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["host_stats"] = host_stats
 
+    # ---- webgraph: link extraction → host graph → PageRank ----
+    # pages synthesized from doc_id: each page links to two hosts in
+    # a 23-host space; the whole chain (href regexp, host canon,
+    # weighted 5-iteration PageRank) replayed by the oracle
+    def host_rank(spark, sf):
+        from gleaner_spark.operators.webgraph import page_rank_pipeline
+
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), (did % 23).cast("string"),
+            F.lit(".example/p"), did.cast("string"),
+        )
+        html = F.concat(
+            F.lit('<a href="https://h'), ((did * 7 + 3) % 23).cast("string"),
+            F.lit('.example/x">t</a><a href="https://h'),
+            ((did * 11 + 5) % 23).cast("string"),
+            F.lit('.example/y">s</a>'),
+        )
+        pages = d.select(url.alias("url"), html.alias("html"))
+        return page_rank_pipeline(pages).select("host", "rank")
+    q["host_rank"] = host_rank
+
     # ---- text: corpus-trained unigram NLL (CCNet LM-filter analog) ----
     def text_nll(spark, sf):
         return TX.unigram_nll(_t(spark, sf, "documents")).select(
@@ -1323,6 +1346,66 @@ SELECT split_part(surt_key, ')', 1) AS host_key,
 FROM k
 WHERE surt_key IS NOT NULL
 GROUP BY 1
+"""
+
+    # webgraph PageRank: href regexp → host canon (any port drops) →
+    # weighted edges → 5 damped iterations as chained CTEs; ROUND(6)
+    # on both sides per the repo's cross-engine float rule
+    def _wg_host(x: str) -> str:
+        return (
+            f"CASE WHEN regexp_extract(lower({x}), "
+            "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) = '' THEN NULL ELSE "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            f"regexp_extract(lower({x}), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), "
+            "'^[^@]*@', ''), '\\.$', ''), ':[0-9]+$', ''), '^www\\.', '') END"
+        )
+
+    _wg_iters = "".join(f""",
+r{i} AS (
+  SELECT h.host,
+         CAST(0.15 AS DOUBLE) / nn.n
+         + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0) AS rank
+  FROM hosts h CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst_host AS host,
+           sum(r.rank * e.n_links / od.out_w) AS contrib
+    FROM edges e
+    JOIN r{i - 1} r ON r.host = e.src_host
+    JOIN outdeg od ON od.src_host = e.src_host
+    GROUP BY e.dst_host) c ON c.host = h.host)""" for i in range(1, 6))
+    o["host_rank"] = f"""
+WITH pages AS (
+  SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR)
+           || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+         '<a href="https://h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR)
+           || '.example/x">t</a><a href="https://h'
+           || CAST((doc_id * 11 + 5) % 23 AS VARCHAR)
+           || '.example/y">s</a>' AS html
+  FROM documents),
+links AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+  FROM pages),
+e0 AS (
+  SELECT {_wg_host('src_url')} AS src_host,
+         {_wg_host('href')} AS dst_host
+  FROM links),
+edges AS (
+  SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+  FROM e0
+  WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+    AND src_host <> dst_host
+  GROUP BY 1, 2),
+hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host FROM edges)),
+nn AS (SELECT count(*) AS n FROM hosts),
+outdeg AS (SELECT src_host, sum(n_links) AS out_w FROM edges GROUP BY 1),
+r0 AS (
+  SELECT host, CAST(1.0 AS DOUBLE) / nn.n AS rank
+  FROM hosts CROSS JOIN nn){_wg_iters}
+SELECT host, round(rank, 6) AS rank FROM r5
 """
 
     # crawl diff: full-outer join of two synthesized crawls' digests
