@@ -659,6 +659,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return page_rank_pipeline(pages).select("host", "rank")
     q["host_rank"] = host_rank
 
+    # ---- webgraph: anchor-text corpus ----
+    def anchor_texts(spark, sf):
+        from gleaner_spark.operators.webgraph import extract_anchor_texts
+
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        url = F.concat(F.lit("https://h"), (did % 23).cast("string"),
+                       F.lit(".example/p"), did.cast("string"))
+        html = F.concat(
+            F.lit('<p>x</p><a class="l" href="https://h'),
+            ((did * 7 + 3) % 23).cast("string"),
+            F.lit('.example/x">anchor '), (did % 5).cast("string"),
+            F.lit('</a><a href="/rel'), did.cast("string"),
+            F.lit('">rel text</a>'),
+        )
+        pages = d.select(url.alias("url"), html.alias("html"))
+        return extract_anchor_texts(pages).select(
+            "src_url", "href", "anchor"
+        )
+    q["anchor_texts"] = anchor_texts
+
     # ---- text: corpus-trained unigram NLL (CCNet LM-filter analog) ----
     def text_nll(spark, sf):
         return TX.unigram_nll(_t(spark, sf, "documents")).select(
@@ -1406,6 +1427,26 @@ r0 AS (
   SELECT host, CAST(1.0 AS DOUBLE) / nn.n AS rank
   FROM hosts CROSS JOIN nn){_wg_iters}
 SELECT host, round(rank, 6) AS rank FROM r5
+"""
+
+    # anchor texts: same element regexp, the two capture groups
+    # zipped positionally (DuckDB zips parallel unnests by position)
+    o["anchor_texts"] = """
+WITH pages AS (
+  SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR)
+           || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+         '<p>x</p><a class="l" href="https://h'
+           || CAST((doc_id * 7 + 3) % 23 AS VARCHAR)
+           || '.example/x">anchor ' || CAST(doc_id % 5 AS VARCHAR)
+           || '</a><a href="/rel' || CAST(doc_id AS VARCHAR)
+           || '">rel text</a>' AS html
+  FROM documents)
+SELECT url AS src_url,
+       unnest(regexp_extract_all(html,
+         '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+       unnest(regexp_extract_all(html,
+         '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+FROM pages
 """
 
     # crawl diff: full-outer join of two synthesized crawls' digests

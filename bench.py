@@ -448,7 +448,8 @@ def main() -> None:
                      "text_repetition", "corpus_resample",
                      "corpus_token_budget", "corpus_shuffle", "url_filter",
                      "span_dedup", "text_nll", "text_tf_embed", "url_index",
-                     "crawl_diff", "host_stats", "host_rank"):
+                     "crawl_diff", "host_stats", "host_rank",
+                     "anchor_texts"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:

@@ -281,6 +281,60 @@ def _index_main(argv: list[str]) -> int:
     return 0
 
 
+def _graph_main(argv: list[str]) -> int:
+    """``python -m gleaner_spark graph --pages <path> --out <dir>``:
+    build the host-level webgraph (operators/webgraph.py) from a
+    pages table or WARC dir — weighted edges, PageRank, and
+    optionally the anchor-text corpus — written as parquet subdirs
+    ``edges/``, ``ranks/``, and (with --anchors) ``anchors/``."""
+    ap = argparse.ArgumentParser(prog="gleaner_spark graph")
+    ap.add_argument("--pages", required=True,
+                    help="pages table path (parquet) or WARC dir")
+    ap.add_argument("--pages-format", default="parquet",
+                    choices=("parquet", "warc"))
+    ap.add_argument("--out", required=True, help="output root dir")
+    ap.add_argument("--iterations", type=int, default=5)
+    ap.add_argument("--anchors", action="store_true",
+                    help="also write the anchor-text corpus")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from .operators.webgraph import (
+        extract_anchor_texts,
+        extract_links,
+        host_link_graph,
+        host_rank,
+    )
+
+    spark = build_session("gleaner-graph", master=args.master)
+    _ship_package(spark)
+    if args.pages_format == "warc":
+        from .sources.warc import combine_warc_wet, read_warc
+
+        pages = combine_warc_wet(read_warc(spark, args.pages))
+    else:
+        pages = spark.read.parquet(args.pages)
+    edges = host_link_graph(extract_links(pages))
+    edges.write.mode("overwrite").parquet(f"{args.out}/edges")
+    edges = spark.read.parquet(f"{args.out}/edges")  # rank reads the
+    # written edges, not the extraction lineage (K iterations would
+    # otherwise re-scan the page table K times)
+    ranks = host_rank(edges, iterations=args.iterations)
+    ranks.write.mode("overwrite").parquet(f"{args.out}/ranks")
+    summary = {
+        "out": args.out,
+        "edges": spark.read.parquet(f"{args.out}/edges").count(),
+        "hosts": spark.read.parquet(f"{args.out}/ranks").count(),
+    }
+    if args.anchors:
+        extract_anchor_texts(pages).write.mode("overwrite").parquet(
+            f"{args.out}/anchors"
+        )
+        summary["anchors"] = spark.read.parquet(f"{args.out}/anchors").count()
+    print(json.dumps(summary))
+    return 0
+
+
 def _vacuum_main(argv: list[str]) -> int:
     """``python -m gleaner_spark vacuum --lake <path>``: delete
     snap-* data dirs no manifest references (left by drop_snapshot/
@@ -309,6 +363,8 @@ def main(argv: list[str] | None = None) -> int:
         return _vacuum_main(argv[1:])
     if argv and argv[0] == "index":
         return _index_main(argv[1:])
+    if argv and argv[0] == "graph":
+        return _graph_main(argv[1:])
     ap = argparse.ArgumentParser(prog="gleaner_spark")
     ap.add_argument("--cfg", required=True, help="YAML config (gleanerConfig.go:35-49)")
     ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")

@@ -74,6 +74,29 @@ def extract_links(
     )
 
 
+_ANCHOR_RE = r'<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchor_texts(
+    df: DataFrame, html_col: str = "html", url_col: str = "url",
+) -> DataFrame:
+    """(src_url, href, anchor) per ``<a href="…">text</a>`` element —
+    the anchor-text corpus (link text is a training/relevance signal:
+    it describes the TARGET page, which is why search and LLM
+    pipelines mine it). Flat-text anchors only (``[^<]*`` — an anchor
+    wrapping nested tags is skipped, documented), same double-quote
+    convention as :func:`extract_links`. Two regexp_extract_all
+    passes zipped positionally — all codegen, zero Python."""
+    html = F.col(html_col).cast("string")
+    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), F.lit(1)).alias("href")
+    texts = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), F.lit(2)).alias("anchor")
+    z = F.explode(F.arrays_zip(hrefs, texts)).alias("z")
+    return df.select(F.col(url_col).alias("src_url"), z).select(
+        "src_url", F.col("z.href").alias("href"),
+        F.col("z.anchor").alias("anchor"),
+    )
+
+
 def host_link_graph(links: DataFrame) -> DataFrame:
     """Weighted host→host edges from (src_url, href) pairs: absolute
     targets only, self-edges dropped, one partial-agg exchange."""

@@ -40,6 +40,22 @@ class TestExtraction:
         assert g == {("a.example", "b.example"): 2,
                      ("b.example", "a.example"): 1}
 
+    def test_anchor_texts(self, spark):
+        from gleaner_spark.operators.webgraph import extract_anchor_texts
+
+        pages = spark.createDataFrame(
+            [("https://a.example/p",
+              '<a class="x" href="https://b.example/1">first link</a>'
+              '<a href="/rel">relative ok here</a>'
+              '<a href="https://c.example/2"><b>nested skipped</b></a>'
+              "<a href='https://d.example/3'>single-quoted skipped</a>")],
+            "url string, html string",
+        )
+        got = {(r["href"], r["anchor"])
+               for r in extract_anchor_texts(pages).collect()}
+        assert got == {("https://b.example/1", "first link"),
+                       ("/rel", "relative ok here")}
+
     def test_binary_html_decodes(self, spark):
         pages = spark.createDataFrame(
             [("https://a.example/p", b'<a href="https://b.example/x">')],
@@ -86,6 +102,29 @@ class TestPageRank:
         assert r1 == _py_pagerank(edges, iterations=1)
         empty = df.filter("n_links < 0")
         assert host_rank(empty).collect() == []
+
+    def test_cli_graph_subcommand(self, spark, tmp_path, capsys):
+        import json
+
+        from gleaner_spark.__main__ import main
+
+        pq = str(tmp_path / "pages")
+        spark.createDataFrame(
+            [(f"https://h{i % 4}.example/p{i}",
+              f'<a href="https://h{(i + 1) % 4}.example/x">to next</a>')
+             for i in range(16)],
+            "url string, html string",
+        ).write.parquet(pq)
+        out = str(tmp_path / "g")
+        assert main(["graph", "--pages", pq, "--out", out,
+                     "--anchors"]) == 0
+        s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert s["edges"] == 4 and s["hosts"] == 4 and s["anchors"] == 16
+        ranks = {r["host"]: r["rank"]
+                 for r in spark.read.parquet(out + "/ranks").collect()}
+        assert ranks["h0.example"] == pytest.approx(0.25, abs=1e-6)
+        anchors = spark.read.parquet(out + "/anchors").collect()
+        assert all(r["anchor"] == "to next" for r in anchors)
 
     def test_pipeline_end_to_end(self, spark):
         pages = spark.createDataFrame(
