@@ -19,6 +19,11 @@ Post-harvest corpus dedup (beyond-reference LLM-pipeline surface):
 
     python -m gleaner_spark dedup --lake s3://bucket/lake \\
         [--threshold 80 --minhash-k 16 --bands 4 --rows 4 --ngram 3]
+
+Further subcommands (all beyond-reference): ``corpus`` (training-
+corpus build), ``vacuum`` (lake GC), ``index`` (SURT/CDX capture
+index build + host/url queries + CDXJ export), ``graph`` (host
+webgraph: edges, PageRank, anchor-text corpus).
 """
 
 from __future__ import annotations
