@@ -107,6 +107,37 @@ class TestSurtPyTwin:
             assert col[u] == surt_key_py(u), (u, col[u], surt_key_py(u))
 
 
+class TestSurtPropertyDifferential:
+    def test_randomized_differential(self, spark):
+        """Randomized (seeded, reproducible) version of the grid
+        differential: URLs assembled from adversarial parts —
+        multiple @ / ? / #, odd ports, empty labels, percent
+        escapes, uppercase — the twin and the column version must
+        agree on every one. Batched through one Spark job."""
+        import random
+
+        from gleaner_spark.operators.urlindex import surt_key_py
+
+        rng = random.Random(20260820)
+        schemes = ["https://", "http://", "", "ftp://", "a+b-c://"]
+        alpha = "abz09.-_~%@:/?#&=WW"
+        examples = []
+        for _ in range(400):
+            s = rng.choice(schemes)
+            h = "".join(rng.choice("abz09@:.-") for _ in range(rng.randint(0, 14)))
+            t = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 16)))
+            examples.append(s + h + t)
+        examples += ["https://@/", "https://:8080/", "https://./",
+                     "https://..:80", "http://a@b@c/p", "https://h/p??a&&b"]
+        col = _keys(spark, list(dict.fromkeys(examples)))
+        bad = [
+            (u, col[u], surt_key_py(u))
+            for u in col
+            if col[u] != surt_key_py(u)
+        ]
+        assert not bad, bad[:5]
+
+
 class TestUrlIndex:
     def _captures(self, spark):
         rows = [
