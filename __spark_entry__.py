@@ -680,6 +680,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["anchor_texts"] = anchor_texts
 
+    # ---- webgraph: domain-level edge aggregation (PSL-lite) ----
+    # synthesized host edges exercising 2-label, co.uk-style 3-label,
+    # single-label, and intra-domain-collapse cases
+    def domain_graph(spark, sf):
+        from gleaner_spark.operators.webgraph import domain_link_graph
+
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        tails = F.array(
+            F.lit("example.org"), F.lit("example.co.uk"),
+            F.lit("shop.example.com.au"), F.lit("localhost"),
+            F.lit("example.com.net"),
+        )
+        src = F.concat(F.lit("s"), (did % 3).cast("string"), F.lit("."),
+                       F.element_at(tails, (did % 5 + 1).cast("int")))
+        dst = F.concat(F.lit("d"), (did % 4).cast("string"), F.lit("."),
+                       F.element_at(tails, ((did + 2) % 5 + 1).cast("int")))
+        edges = d.select(
+            src.alias("src_host"), dst.alias("dst_host"),
+            (did % 7 + 1).alias("n_links"),
+        )
+        return domain_link_graph(edges).select(
+            "src_domain", "dst_domain", "n_links"
+        )
+    q["domain_graph"] = domain_graph
+
     # ---- text: corpus-trained unigram NLL (CCNet LM-filter analog) ----
     def text_nll(spark, sf):
         return TX.unigram_nll(_t(spark, sf, "documents")).select(
@@ -1427,6 +1453,44 @@ r0 AS (
   SELECT host, CAST(1.0 AS DOUBLE) / nn.n AS rank
   FROM hosts CROSS JOIN nn){_wg_iters}
 SELECT host, round(rank, 6) AS rank FROM r5
+"""
+
+    # domain graph: PSL-lite registered-domain mapping replayed via
+    # list ops, then re-aggregation (sum cast back to BIGINT —
+    # DuckDB widens sums to HUGEINT)
+    def _wg_domain(h: str) -> str:
+        l = f"string_split({h}, '.')"
+        return (
+            f"CASE WHEN len({l}) <= 1 THEN {h} "
+            f"WHEN len({l}) >= 3 AND length(({l})[len({l})]) = 2 "
+            f"AND ({l})[len({l}) - 1] IN "
+            "('co','com','net','org','gov','edu','ac','or','ne','go') "
+            f"THEN ({l})[len({l}) - 2] || '.' || ({l})[len({l}) - 1] "
+            f"|| '.' || ({l})[len({l})] "
+            f"ELSE ({l})[len({l}) - 1] || '.' || ({l})[len({l})] END"
+        )
+
+    o["domain_graph"] = f"""
+WITH e AS (
+  SELECT 's' || CAST(doc_id % 3 AS VARCHAR) || '.'
+           || (['example.org','example.co.uk','shop.example.com.au',
+                'localhost','example.com.net'])[CAST(doc_id % 5 AS INT) + 1]
+           AS src_host,
+         'd' || CAST(doc_id % 4 AS VARCHAR) || '.'
+           || (['example.org','example.co.uk','shop.example.com.au',
+                'localhost','example.com.net'])[CAST((doc_id + 2) % 5 AS INT) + 1]
+           AS dst_host,
+         doc_id % 7 + 1 AS n_links
+  FROM documents),
+d AS (
+  SELECT {_wg_domain('src_host')} AS src_domain,
+         {_wg_domain('dst_host')} AS dst_domain,
+         n_links
+  FROM e)
+SELECT src_domain, dst_domain, CAST(sum(n_links) AS BIGINT) AS n_links
+FROM d
+WHERE src_domain <> dst_domain
+GROUP BY 1, 2
 """
 
     # anchor texts: same element regexp, the two capture groups

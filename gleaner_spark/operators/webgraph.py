@@ -115,6 +115,50 @@ def host_link_graph(links: DataFrame) -> DataFrame:
     )
 
 
+# second-level labels that take a third label when the TLD is a
+# 2-letter country code (co.uk, com.au, go.jp, …). A PSL-lite
+# heuristic, deliberately tiny and engine-portable; a production
+# deployment swaps in the full Public Suffix List here.
+_SLD = ("co", "com", "net", "org", "gov", "edu", "ac", "or", "ne", "go")
+
+
+def registered_domain(host_col: Column) -> Column:
+    """Registered domain of a host: its last two labels, or last
+    three when the TLD is 2 letters and the second level is a known
+    shared label (``example.co.uk`` → ``example.co.uk``, not
+    ``co.uk``). Hosts with one label pass through unchanged."""
+    labels = F.split(host_col, r"\.")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    sld = F.element_at(labels, -2)
+    dom2 = F.concat_ws(".", sld, tld)
+    dom3 = F.concat_ws(".", F.element_at(labels, -3), sld, tld)
+    return (
+        F.when(n <= 1, host_col)
+        .when(
+            (n >= 3) & (F.length(tld) == 2) & sld.isin(*_SLD), dom3
+        )
+        .otherwise(dom2)
+    )
+
+
+def domain_link_graph(host_edges: DataFrame) -> DataFrame:
+    """Domain-level webgraph from host-level edges (CC publishes
+    both): hosts map to registered domains, intra-domain edges drop,
+    weights re-aggregate. One partial-agg exchange over the already-
+    aggregated host edges — never the raw links."""
+    e = host_edges.select(
+        registered_domain(F.col("src_host")).alias("src_domain"),
+        registered_domain(F.col("dst_host")).alias("dst_domain"),
+        "n_links",
+    )
+    return (
+        e.filter(F.col("src_domain") != F.col("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.sum("n_links").alias("n_links"))
+    )
+
+
 def host_rank(
     edges: DataFrame, iterations: int = 5, damping: float = 0.85,
     round_digits: int = 6,

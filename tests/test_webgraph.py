@@ -64,6 +64,43 @@ class TestExtraction:
         assert extract_links(pages).collect()[0]["href"] == "https://b.example/x"
 
 
+class TestDomainGraph:
+    def test_registered_domain_heuristic(self, spark):
+        from gleaner_spark.operators.webgraph import registered_domain
+
+        hosts = ["a.example.org", "example.org", "a.b.example.co.uk",
+                 "shop.example.com.au", "localhost", "x.localhost",
+                 "a.example.com.net",   # 3-letter TLD: 2-label rule
+                 "go.jp"]               # the shared label IS the domain
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        got = {r["host"]: r["dom"] for r in df.select(
+            "host", registered_domain(F.col("host")).alias("dom")
+        ).collect()}
+        assert got == {
+            "a.example.org": "example.org",
+            "example.org": "example.org",
+            "a.b.example.co.uk": "example.co.uk",
+            "shop.example.com.au": "example.com.au",
+            "localhost": "localhost",
+            "x.localhost": "x.localhost",
+            "a.example.com.net": "com.net",
+            "go.jp": "go.jp",
+        }
+
+    def test_domain_link_graph_collapses_and_reweights(self, spark):
+        from gleaner_spark.operators.webgraph import domain_link_graph
+
+        edges = spark.createDataFrame(
+            [("a.example.org", "b.shop.example.org", 2),   # intra-domain
+             ("a.example.org", "x.other.net", 3),
+             ("b.example.org", "y.other.net", 4)],         # same domain pair
+            "src_host string, dst_host string, n_links long",
+        )
+        got = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+               for r in domain_link_graph(edges).collect()}
+        assert got == {("example.org", "other.net"): 7}
+
+
 def _py_pagerank(edges, iterations=5, damping=0.85):
     """Pure-Python weighted PageRank, same semantics as host_rank."""
     hosts = sorted({h for e in edges for h in e[:2]})
