@@ -301,10 +301,13 @@ def _graph_main(argv: list[str]) -> int:
     ap.add_argument("--iterations", type=int, default=5)
     ap.add_argument("--anchors", action="store_true",
                     help="also write the anchor-text corpus")
+    ap.add_argument("--domains", action="store_true",
+                    help="also write the domain-level edge list")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
     from .operators.webgraph import (
+        domain_link_graph,
         extract_anchor_texts,
         extract_links,
         host_link_graph,
@@ -336,6 +339,13 @@ def _graph_main(argv: list[str]) -> int:
             f"{args.out}/anchors"
         )
         summary["anchors"] = spark.read.parquet(f"{args.out}/anchors").count()
+    if args.domains:
+        domain_link_graph(edges).write.mode("overwrite").parquet(
+            f"{args.out}/domain_edges"
+        )
+        summary["domain_edges"] = spark.read.parquet(
+            f"{args.out}/domain_edges"
+        ).count()
     print(json.dumps(summary))
     return 0
 

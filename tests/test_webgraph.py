@@ -154,9 +154,12 @@ class TestPageRank:
         ).write.parquet(pq)
         out = str(tmp_path / "g")
         assert main(["graph", "--pages", pq, "--out", out,
-                     "--anchors"]) == 0
+                     "--anchors", "--domains"]) == 0
         s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert s["edges"] == 4 and s["hosts"] == 4 and s["anchors"] == 16
+        # hN.example is already a 2-label registered domain, so the
+        # ring survives 1:1 at domain level
+        assert s["domain_edges"] == 4
         ranks = {r["host"]: r["rank"]
                  for r in spark.read.parquet(out + "/ranks").collect()}
         assert ranks["h0.example"] == pytest.approx(0.25, abs=1e-6)
