@@ -778,6 +778,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("source", "doc_id", "seq_id", "seq_offset")
     q["corpus_pack"] = corpus_pack
 
+    # ---- text: two-class NB quality classifier (fastText-style
+    # seed-vs-crawl gate, trained on a deterministic in-corpus
+    # labeling: lang='en' is the "seed" class) ----
+    def text_nb(spark, sf):
+        d = _t(spark, sf, "documents").withColumn(
+            "label", (F.col("lang") == "en").cast("int")
+        )
+        return TX.nb_quality(d).select("doc_id", "n_tokens", "nb_score")
+    q["text_nb"] = text_nb
+
+    # ---- crawl scheduling: change-rate recrawl priorities over a
+    # synthetic capture history (50 URL groups x ~10 captures each;
+    # digests flip on a doc_id % 3 pattern so every group has its own
+    # transition sequence) ----
+    def recrawl_priority(spark, sf):
+        from gleaner_spark.operators.recrawl import recrawl_priority as RP
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        did = F.col("doc_id")
+        g = did % 50
+        caps = d.select(
+            F.concat(
+                F.lit("org,h"), (g % 7).cast("string"),
+                F.lit(")/p/"), g.cast("string"),
+            ).alias("surt_key"),
+            (F.lit(1000) + did).alias("ts"),
+            F.concat(
+                F.lit("d"),
+                F.when(did % 3 == 0, F.lit(0)).otherwise(F.lit(1))
+                .cast("string"),
+            ).alias("digest"),
+        )
+        return RP(caps, now_ts=999_999)
+    q["recrawl_priority"] = recrawl_priority
+
     return q
 
 
@@ -1708,6 +1743,55 @@ FROM (SELECT source, doc_id,
                PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
       FROM documents)
+"""
+
+    # NB classifier: same Laplace-smoothed LLR chain, lang='en' seed
+    o["text_nb"] = f"""
+WITH lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+  FROM documents),
+e AS (SELECT doc_id, y, unnest({toks}) AS tok FROM lab),
+c AS (
+  SELECT tok, CAST(sum(y) AS BIGINT) AS c1,
+         CAST(sum(1 - y) AS BIGINT) AS c0
+  FROM e GROUP BY tok),
+t AS (SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c0) AS BIGINT) AS t0,
+             CAST(count(*) AS BIGINT) AS v FROM c)
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln((c.c1 + 1.0) / (t.t1 + t.v))
+                 - ln((c.c0 + 1.0) / (t.t0 + t.v))), 4) AS nb_score
+FROM e JOIN c USING (tok) CROSS JOIN t
+GROUP BY e.doc_id
+"""
+
+    # recrawl scheduling: lag-window transition count + the pinned
+    # (changes+1)/(span+prior) * age estimator, replayed step by step
+    o["recrawl_priority"] = """
+WITH caps AS (
+  SELECT 'org,h' || CAST((doc_id % 50) % 7 AS VARCHAR)
+           || ')/p/' || CAST(doc_id % 50 AS VARCHAR) AS surt_key,
+         1000 + doc_id AS ts,
+         'd' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS VARCHAR)
+           AS digest
+  FROM documents),
+w AS (
+  SELECT surt_key, ts, digest,
+         lag(digest) OVER (PARTITION BY surt_key ORDER BY ts, digest) AS prev
+  FROM caps),
+s AS (
+  SELECT surt_key,
+         CAST(count(*) AS BIGINT) AS n_captures,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND digest IS NOT NULL
+                       AND digest <> prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changes,
+         CAST(min(ts) AS BIGINT) AS first_ts,
+         CAST(max(ts) AS BIGINT) AS last_ts
+  FROM w GROUP BY surt_key)
+SELECT surt_key, split_part(surt_key, ')', 1) AS host_key,
+       n_captures, n_changes, last_ts,
+       round((n_changes + 1.0) / (last_ts - first_ts + 2592000.0)
+             * greatest(999999 - last_ts, 0), 6) AS priority
+FROM s
 """
 
     return o

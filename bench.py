@@ -449,7 +449,8 @@ def main() -> None:
                      "corpus_token_budget", "corpus_shuffle", "url_filter",
                      "span_dedup", "text_nll", "text_tf_embed", "url_index",
                      "crawl_diff", "host_stats", "host_rank",
-                     "anchor_texts", "domain_graph"):
+                     "anchor_texts", "domain_graph", "text_nb",
+                     "recrawl_priority"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:

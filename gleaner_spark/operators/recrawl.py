@@ -1,0 +1,146 @@
+"""Change-rate-driven recrawl scheduling over capture-index history.
+
+A crawler with a fixed fetch budget must decide WHICH known URLs to
+re-fetch each cycle. The standard answer (Cho & Garcia-Molina,
+"Effective Page Refresh Policies for Web Crawlers") is to estimate a
+per-URL change rate from the observed capture history and spend the
+budget on the URLs with the most expected missed changes. The
+reference has no such operator (it re-fetches whatever the sitemap
+lists every run — `/root/reference/internal/summoner/acquire/
+resources.go` rebuilds the full URL list each invocation); this is
+beyond-reference crawl surface in the same family as
+operators/urlindex.py, and it is the half of the north-rule
+"politeness priority queue" that decides admission (what enters the
+frontier) rather than order (operators/frontier.py's politeness
+lanes, which schedule whatever was admitted).
+
+Estimator — pinned, deterministic, engine-portable:
+
+- a *change* is a capture whose digest differs from the immediately
+  preceding capture of the same surt_key (captures ordered by
+  (ts, digest) so equal-timestamp rows have a total order); NULL
+  digests never count as changes in either direction;
+- change_rate = (n_changes + 1) / (span + prior_span_s) where span =
+  last_ts - first_ts in seconds. The +1/+prior is a Laplace-style
+  prior: a never-observed-to-change URL still has a small positive
+  rate (so it is eventually re-checked), and a URL seen only once
+  (span 0) gets exactly the prior rate 1/prior_span_s instead of a
+  division by zero;
+- priority = change_rate * age, age = max(now_ts - last_ts, 0): the
+  expected number of changes missed since the last capture — the
+  quantity a budget-constrained scheduler should greedily maximize.
+
+Scale shape: change counting is one hash exchange on surt_key
+followed by a per-key lag window — the partition key is the
+highest-cardinality column in the system (one group per URL) and
+group size is bounded by the number of crawl cycles (~10²), so the
+local sorts are bounded-task by construction and there is no skew
+hazard. Priority/selection are map-side arithmetic; the budget cut
+is orderBy(...).limit(budget) which Spark executes as
+TakeOrderedAndProject (per-partition top-N merged on the driver —
+no global sort materialization). No UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def change_stats(capture_index: DataFrame) -> DataFrame:
+    """Per-key capture-history summary from a per-capture index
+    (build_capture_index / read_cdxj granularity: one row per capture
+    with surt_key, ts, digest): (surt_key, n_captures, n_changes,
+    first_ts, last_ts). ``n_changes`` counts digest transitions in
+    (ts, digest) order; ts values cast to epoch seconds (longs pass
+    through). NULL surt_keys (junk URLs) are dropped — they identify
+    no fetchable page."""
+    w = Window.partitionBy("surt_key").orderBy(
+        F.col("_ts").asc(), F.col("digest").asc()
+    )
+    prev = F.lag("digest").over(w)
+    chg = (
+        prev.isNotNull() & F.col("digest").isNotNull()
+        & (F.col("digest") != prev)
+    ).cast("long")
+    return (
+        capture_index.filter(F.col("surt_key").isNotNull())
+        .select("surt_key", F.col("ts").cast("long").alias("_ts"), "digest")
+        .withColumn("_chg", chg)
+        .groupBy("surt_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.sum("_chg").alias("n_changes"),
+            F.min("_ts").alias("first_ts"),
+            F.max("_ts").alias("last_ts"),
+        )
+    )
+
+
+def recrawl_priority(capture_index: DataFrame, now_ts: int,
+                     prior_span_s: int = 30 * 24 * 3600,
+                     decimals: int = 6) -> DataFrame:
+    """Score every known URL for recrawl at time ``now_ts`` (epoch
+    seconds — passed in, never read from the clock, so runs are
+    reproducible): (surt_key, host_key, n_captures, n_changes,
+    last_ts, priority) with priority = round(change_rate * age,
+    decimals) per the module-docstring estimator. ``host_key`` (the
+    surt host prefix) rides along so host-level signals — a
+    webgraph.host_rank frame, a politeness budget — join without
+    re-parsing the key."""
+    stats = change_stats(capture_index)
+    rate = (F.col("n_changes").cast("double") + 1.0) / (
+        (F.col("last_ts") - F.col("first_ts")).cast("double")
+        + float(prior_span_s)
+    )
+    age = F.greatest(F.lit(int(now_ts)) - F.col("last_ts"), F.lit(0))
+    return stats.select(
+        "surt_key",
+        F.substring_index("surt_key", ")", 1).alias("host_key"),
+        "n_captures", "n_changes", "last_ts",
+        F.round(rate * age.cast("double"), decimals).alias("priority"),
+    )
+
+
+def weight_by_host_rank(priorities: DataFrame, ranks: DataFrame,
+                        decimals: int = 9) -> DataFrame:
+    """Fold a host-importance signal (webgraph.host_rank output keyed
+    the same way: (host_key, rank)) into recrawl priorities:
+    weighted_priority = round(priority * rank, decimals), so the
+    budget prefers fresh-AND-important pages (the crawl-ordering
+    prior CC-style pipelines derive from the host webgraph). Hosts
+    absent from the rank frame take the minimum observed rank — the
+    pessimistic-but-nonzero floor, so an unranked host is demoted,
+    never silently dropped or zeroed out of the schedule.
+
+    One broadcast-size agg row (min rank) + one hash join against the
+    rank frame (tiny next to the priority frame — hosts, not URLs —
+    so AQE broadcasts it at real scale)."""
+    floor = ranks.agg(F.min("rank").alias("_floor"))
+    return (
+        priorities
+        .join(ranks.select("host_key", "rank"), "host_key", "left")
+        .crossJoin(F.broadcast(floor))
+        .select(
+            "surt_key", "host_key", "n_captures", "n_changes", "last_ts",
+            "priority",
+            F.round(
+                F.col("priority") * F.coalesce("rank", "_floor"), decimals
+            ).alias("weighted_priority"),
+        )
+    )
+
+
+def select_recrawl(priorities: DataFrame, budget: int,
+                   priority_col: str = "priority") -> DataFrame:
+    """The budget cut: the ``budget`` highest-priority URLs, totally
+    ordered by (priority desc, surt_key asc) so the selected SET is
+    deterministic and partition-invariant even across rounded-priority
+    ties. Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition top-N, merged once — so a 10^9-row priority frame
+    never globally sorts."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    return priorities.orderBy(
+        F.col(priority_col).desc(), F.col("surt_key").asc()
+    ).limit(budget)

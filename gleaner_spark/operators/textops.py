@@ -342,3 +342,124 @@ def hashed_tf(docs: DataFrame, dim: int = 64, id_col: str = "doc_id",
             "tf", lambda x: (x / F.sqrt(F.greatest(sq, F.lit(1e-12)))).cast("float")
         ).alias("embedding"),
     )
+
+
+def _nb_llr(c1, c0, t1, t0, v):
+    """Laplace-smoothed per-token log-likelihood ratio
+    ln((c1+1)/(T1+V)) - ln((c0+1)/(T0+V)): positive means the token is
+    evidence for class 1 (the seed/reference class)."""
+    one = F.lit(1.0)
+    return (
+        F.log((c1.cast("double") + one) / (t1.cast("double") + v))
+        - F.log((c0.cast("double") + one) / (t0.cast("double") + v))
+    )
+
+
+def nb_train(docs: DataFrame, label_col: str = "label",
+             text_col: str = "text") -> DataFrame:
+    """Train a two-class multinomial Naive Bayes token model — the
+    distributable analog of the fastText "seed vs crawl" quality
+    classifier used by GPT-3/CCNet-style corpus curation (train on a
+    small curated seed labeled 1 against general crawl labeled 0,
+    score everything, keep the seed-like head). No external model
+    artifact: the classifier IS a DataFrame of per-token Laplace-
+    smoothed log-likelihood ratios, so it broadcasts/joins/persists
+    like any other table.
+
+    Returns one row per distinct token: (_tok, _c1, _c0, _llr) where
+    _llr = ln((c1+1)/(T1+V)) - ln((c0+1)/(T0+V)); every quantity is a
+    deterministic function of the labeled corpus, so two engines (or
+    a re-run on re-sharded input) produce the identical model.
+
+    Scale shape: ONE hash exchange (groupBy token with map-side
+    conditional partial sums); the class totals (T1, T0, V) are a
+    one-row aggregate over the count table folded back as a broadcast
+    cross join. No UDFs, no windows, no collects."""
+    y = F.col(label_col).cast("int")
+    exploded = docs.select(
+        y.alias("_y"), F.explode(X.tokens(F.col(text_col))).alias("_tok")
+    )
+    counts = exploded.groupBy("_tok").agg(
+        F.sum("_y").cast("long").alias("_c1"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_c0"),
+    )
+    tot = counts.agg(
+        F.sum("_c1").alias("_t1"), F.sum("_c0").alias("_t0"),
+        F.count("*").cast("long").alias("_v"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "_tok", "_c1", "_c0",
+        _nb_llr(F.col("_c1"), F.col("_c0"), F.col("_t1"), F.col("_t0"),
+                F.col("_v").cast("double")).alias("_llr"),
+    )
+
+
+def nb_quality(docs: DataFrame, label_col: str = "label",
+               id_col: str = "doc_id", text_col: str = "text",
+               decimals: int = 4) -> DataFrame:
+    """Score every document by the mean per-token NB log-likelihood
+    ratio of a model trained on the SAME labeled frame (the standard
+    curation loop: label a seed slice 1, the rest 0, then rank all
+    documents by seed-likeness and gate on the score). Positive
+    nb_score = reads like the seed class; negative = reads like the
+    background class. The mean (not the sum) is used so the score is
+    length-invariant, like unigram_nll.
+
+    Returns (id, n_tokens, nb_score) with nb_score rounded to
+    ``decimals`` (the repo's cross-engine float rule).
+
+    Scale shape: the train pass is nb_train's single exchange; the
+    score pass re-explodes the documents and hash-joins tokens to
+    their LLRs (co-partitioned on the token — every scored token
+    exists in the model by construction, so the join is inner), then
+    one groupBy(id) with map-side partial sums. Same two-exchange
+    shape as unigram_nll. No UDFs, no windows, no collects."""
+    model = nb_train(docs, label_col=label_col, text_col=text_col)
+    exploded = docs.select(
+        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("_tok")
+    )
+    return (
+        exploded.join(model, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("_llr"), decimals).alias("nb_score"),
+        )
+    )
+
+
+def nb_score_with(docs: DataFrame, model: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  decimals: int = 4) -> DataFrame:
+    """Score UNLABELED documents with a model frame from nb_train —
+    the deploy half of the curation loop (train once on the labeled
+    seed+crawl sample, score every new crawl increment). Tokens the
+    model never saw contribute the Laplace floor for both classes,
+    ln((0+1)/(T1+V)) - ln((0+1)/(T0+V)) = ln((T0+V)/(T1+V)), i.e.
+    only the class-size prior — derived here from the model frame
+    itself so no scalar artifact travels beside it.
+
+    Scale shape: one broadcast of the model's one-row totals, a
+    left hash-join of exploded tokens against the model
+    (co-partitioned on the token), one groupBy(id). Unseen tokens
+    take the coalesce'd floor instead of dropping, so a document of
+    entirely novel tokens still scores (pure prior)."""
+    tot = model.agg(
+        F.sum("_c1").alias("_t1"), F.sum("_c0").alias("_t0"),
+        F.count("*").cast("long").alias("_v"),
+    )
+    floor = _nb_llr(F.lit(0), F.lit(0), F.col("_t1"), F.col("_t0"),
+                    F.col("_v").cast("double"))
+    exploded = docs.select(
+        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("_tok")
+    )
+    return (
+        exploded.join(model.select("_tok", "_llr"), "_tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(id_col, F.coalesce("_llr", floor).alias("_llr"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("_llr"), decimals).alias("nb_score"),
+        )
+    )

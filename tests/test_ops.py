@@ -1546,3 +1546,93 @@ class TestHashedTf:
         assert a == b
         with _pytest.raises(ValueError, match=">= 1"):
             hashed_tf(df, 0)
+
+
+class TestNbQuality:
+    """Two-class NB quality classifier (textops.nb_train/nb_quality/
+    nb_score_with) — the distributable fastText-style seed-vs-crawl
+    gate. Closed-form LLR checks, length invariance, unseen-token
+    floor, reshard invariance, plan shape."""
+
+    def _labeled(self, spark):
+        # class 1 ("seed"): clean prose; class 0 ("crawl"): symbol soup
+        return spark.createDataFrame(
+            [(0, 1, "good clean prose here"),
+             (1, 1, "more good clean prose"),
+             (2, 0, "zz@@ ### spam spam"),
+             (3, 0, "### zz@@ junk spam")],
+            "doc_id long, label int, text string",
+        )
+
+    def test_llr_closed_form_and_score_separation(self, spark):
+        import math
+
+        from gleaner_spark.operators.textops import nb_quality, nb_train
+
+        df = self._labeled(spark)
+        model = {r["_tok"]: r for r in nb_train(df).collect()}
+        # corpus: T1 = 8 seed tokens, T0 = 8 crawl tokens, V distinct
+        v = len(model)
+        r = model["good"]
+        assert (r["_c1"], r["_c0"]) == (2, 0)
+        assert r["_llr"] == math.log((2 + 1) / (8 + v)) - math.log(1 / (8 + v))
+        r = model["spam"]
+        assert (r["_c1"], r["_c0"]) == (0, 3)
+        got = {x["doc_id"]: x for x in nb_quality(df).collect()}
+        # seed docs score positive, crawl docs negative, exact round
+        assert got[0]["nb_score"] > 0 > got[2]["nb_score"]
+        want0 = round(
+            sum(model[t]["_llr"] for t in "good clean prose here".split()) / 4, 4
+        )
+        assert got[0]["nb_score"] == want0
+        assert got[0]["n_tokens"] == 4
+
+    def test_unseen_token_floor_is_pure_prior(self, spark):
+        import math
+
+        from gleaner_spark.operators.textops import nb_score_with, nb_train
+
+        df = self._labeled(spark)
+        model = nb_train(df)
+        v = model.count()
+        new = spark.createDataFrame(
+            [(10, "totally novel vocabulary entirely"),
+             (11, "good clean prose here")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in nb_score_with(new, model).collect()}
+        # all-unseen doc: every token takes ln((T0+V)/(T1+V)); T1=T0=8
+        floor = math.log(1 / (8 + v)) - math.log(1 / (8 + v))
+        assert got[10]["nb_score"] == round(floor, 4) == 0.0
+        assert got[10]["n_tokens"] == 4
+        # a seen doc scores identically to the self-scored path
+        self_scored = {
+            r["doc_id"]: r["nb_score"]
+            for r in __import__(
+                "gleaner_spark.operators.textops", fromlist=["nb_quality"]
+            ).nb_quality(self._labeled(spark)).collect()
+        }
+        assert got[11]["nb_score"] == self_scored[0]
+
+    def test_length_invariance_reshard_and_plan(self, spark):
+        from gleaner_spark.operators.textops import nb_quality
+
+        df = spark.createDataFrame(
+            [(i, i % 2,
+              (("alpha beta " if i % 2 else "gamma delta ") * (1 + i % 3)).strip())
+             for i in range(40)],
+            "doc_id long, label int, text string",
+        )
+        rows = nb_quality(df).collect()
+        # each class is its own two tokens repeated 1-3x: the mean
+        # LLR ignores the repetition count (length invariance), so
+        # exactly one score per class across all 40 lengths
+        assert len({r["nb_score"] for r in rows}) == 2
+        by_label = {r["nb_score"] for r in rows if r["doc_id"] % 2 == 1}
+        assert len(by_label) == 1 and by_label.pop() > 0
+        a = sorted(map(tuple, rows))
+        b = sorted(map(tuple, nb_quality(df.repartition(13)).collect()))
+        assert a == b
+        plan = nb_quality(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

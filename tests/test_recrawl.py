@@ -1,0 +1,193 @@
+"""Change-rate recrawl scheduling (operators/recrawl.py).
+
+Semantics pinned against hand-computed histories and a pure-python
+estimator twin; determinism pinned across repartitioning; the budget
+cut pinned as TakeOrderedAndProject (no global sort)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from gleaner_spark.operators.recrawl import (
+    change_stats,
+    recrawl_priority,
+    select_recrawl,
+    weight_by_host_rank,
+)
+
+PRIOR = 30 * 24 * 3600
+
+
+def _caps(spark, rows):
+    return spark.createDataFrame(
+        rows, "surt_key string, ts long, digest string"
+    )
+
+
+class TestChangeStats:
+    def test_transitions_counted_in_ts_order(self, spark):
+        """d1->d1->d2->d1 is two changes; a never-changing key is
+        zero; a single capture is zero."""
+        df = _caps(spark, [
+            ("org,a)/x", 100, "d1"), ("org,a)/x", 200, "d1"),
+            ("org,a)/x", 300, "d2"), ("org,a)/x", 400, "d1"),
+            ("org,b)/y", 100, "dz"), ("org,b)/y", 900, "dz"),
+            ("org,c)/z", 500, "dq"),
+        ])
+        got = {r["surt_key"]: r for r in change_stats(df).collect()}
+        assert got["org,a)/x"]["n_changes"] == 2
+        assert got["org,a)/x"]["n_captures"] == 4
+        assert (got["org,a)/x"]["first_ts"], got["org,a)/x"]["last_ts"]) == (100, 400)
+        assert got["org,b)/y"]["n_changes"] == 0
+        assert got["org,c)/z"]["n_changes"] == 0
+
+    def test_null_digests_never_count_as_changes(self, spark):
+        """NULL digest rows (e.g. a CDXJ line without a digest field)
+        are incomparable: neither entering nor leaving NULL is a
+        change."""
+        df = _caps(spark, [
+            ("org,a)/x", 100, "d1"), ("org,a)/x", 200, None),
+            ("org,a)/x", 300, "d1"), ("org,a)/x", 400, "d2"),
+        ])
+        got = change_stats(df).collect()[0]
+        # the only comparable adjacent pair is (d1@300, d2@400)
+        assert got["n_changes"] == 1
+
+    def test_equal_ts_ties_total_order_and_reshard_invariance(self, spark):
+        """Two captures at the same ts order by digest (pinned total
+        order), so the change count is partition-invariant."""
+        rows = [("org,a)/x", 100, "dB"), ("org,a)/x", 100, "dA"),
+                ("org,a)/x", 200, "dA")]
+        a = change_stats(_caps(spark, rows)).collect()[0]
+        b = change_stats(_caps(spark, rows).repartition(7)).collect()[0]
+        # order is (dA@100, dB@100, dA@200): two transitions
+        assert a["n_changes"] == b["n_changes"] == 2
+
+    def test_null_surt_keys_dropped(self, spark):
+        df = _caps(spark, [(None, 100, "d1"), ("org,a)/x", 100, "d1")])
+        assert change_stats(df).count() == 1
+
+
+class TestRecrawlPriority:
+    def test_estimator_closed_form(self, spark):
+        """priority = (changes+1)/(span+prior) * age, rounded —
+        checked against the closed form for a changing, a static,
+        and a single-capture key."""
+        df = _caps(spark, [
+            ("org,a)/x", 1000, "d1"), ("org,a)/x", 2000, "d2"),
+            ("org,b)/y", 1000, "dz"), ("org,b)/y", 5000, "dz"),
+            ("org,c)/z", 4000, "dq"),
+        ])
+        now = 10_000
+        got = {r["surt_key"]: r for r in recrawl_priority(df, now).collect()}
+        assert got["org,a)/x"]["priority"] == round(
+            (1 + 1) / (1000 + PRIOR) * (now - 2000), 6)
+        assert got["org,b)/y"]["priority"] == round(
+            (0 + 1) / (4000 + PRIOR) * (now - 5000), 6)
+        # single capture: span 0 -> pure prior rate
+        assert got["org,c)/z"]["priority"] == round(
+            1 / PRIOR * (now - 4000), 6)
+        assert got["org,a)/x"]["host_key"] == "org,a"
+
+    def test_fresher_equals_lower_priority_and_age_floor(self, spark):
+        """Same history, later last capture -> lower priority; a
+        capture from the future clamps age to 0."""
+        df = _caps(spark, [
+            ("org,a)/x", 0, "d1"), ("org,a)/x", 100, "d2"),
+            ("org,b)/y", 0, "d1"), ("org,b)/y", 9000, "d2"),
+            ("org,f)/future", 99_999, "d1"),
+        ])
+        got = {r["surt_key"]: r for r in recrawl_priority(df, 10_000).collect()}
+        assert got["org,a)/x"]["priority"] > got["org,b)/y"]["priority"]
+        assert got["org,f)/future"]["priority"] == 0.0
+
+    def test_python_twin_on_random_histories(self, spark):
+        """Differential vs a pure-python estimator over a seeded
+        random capture matrix (100 keys x up to 12 captures)."""
+        import random
+
+        rng = random.Random(42)
+        rows, want = [], {}
+        for k in range(100):
+            key = f"org,h{k % 9})/p/{k}"
+            caps = sorted(
+                (rng.randrange(0, 10_000), f"d{rng.randrange(3)}")
+                for _ in range(rng.randrange(1, 13))
+            )
+            rows += [(key, ts, dg) for ts, dg in caps]
+            # python twin: same (ts, digest) total order
+            caps.sort()
+            changes = sum(
+                1 for i in range(1, len(caps)) if caps[i][1] != caps[i - 1][1]
+            )
+            span = caps[-1][0] - caps[0][0]
+            age = max(20_000 - caps[-1][0], 0)
+            want[key] = round((changes + 1) / (span + PRIOR) * age, 6)
+        got = {
+            r["surt_key"]: r["priority"]
+            for r in recrawl_priority(_caps(spark, rows), 20_000).collect()
+        }
+        assert got == want
+
+
+class TestSelectAndWeight:
+    def test_budget_cut_deterministic_and_no_global_sort(self, spark):
+        df = _caps(spark, [
+            (f"org,a)/p/{i}", 100 * (i % 7), f"d{i % 2}") for i in range(50)
+        ])
+        pri = recrawl_priority(df, 10_000)
+        top = select_recrawl(pri, 10)
+        rows = top.collect()
+        assert len(rows) == 10
+        # set is the true top-10 under (priority desc, surt_key asc)
+        all_rows = sorted(
+            pri.collect(), key=lambda r: (-r["priority"], r["surt_key"])
+        )
+        assert [r["surt_key"] for r in rows] == [
+            r["surt_key"] for r in all_rows[:10]
+        ]
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        with pytest.raises(ValueError, match="budget"):
+            select_recrawl(pri, -1)
+
+    def test_rank_weighting_and_min_floor(self, spark):
+        """Ranked hosts scale by their rank; a host missing from the
+        rank frame takes the minimum observed rank, never zero."""
+        df = _caps(spark, [
+            ("org,big)/x", 1000, "d1"), ("org,big)/x", 2000, "d2"),
+            ("org,small)/y", 1000, "d1"), ("org,small)/y", 2000, "d2"),
+            ("org,unranked)/z", 1000, "d1"), ("org,unranked)/z", 2000, "d2"),
+        ])
+        ranks = spark.createDataFrame(
+            [("org,big", 0.6), ("org,small", 0.1)], "host_key string, rank double"
+        )
+        pri = recrawl_priority(df, 10_000)
+        got = {
+            r["surt_key"]: r
+            for r in weight_by_host_rank(pri, ranks).collect()
+        }
+        base = got["org,big)/x"]["priority"]
+        assert got["org,big)/x"]["weighted_priority"] == round(base * 0.6, 9)
+        assert got["org,small)/y"]["weighted_priority"] == round(base * 0.1, 9)
+        # unranked host: floored at min(rank) = 0.1, not dropped/zeroed
+        assert got["org,unranked)/z"]["weighted_priority"] == round(base * 0.1, 9)
+
+    def test_composes_with_capture_index(self, spark):
+        """End-to-end over build_capture_index output: pages ->
+        per-capture index -> priorities (the production wiring)."""
+        from gleaner_spark.operators.urlindex import build_capture_index
+
+        pages = spark.createDataFrame(
+            [("https://example.org/a", 1000, b"v1"),
+             ("https://example.org/a", 2000, b"v2"),
+             ("https://example.org/b", 1500, b"w1")],
+            "url string, warc_ts long, html binary",
+        )
+        idx = build_capture_index(pages)
+        got = {r["surt_key"]: r for r in recrawl_priority(idx, 10_000).collect()}
+        assert got["org,example)/a"]["n_changes"] == 1
+        assert got["org,example)/b"]["n_changes"] == 0
+        assert got["org,example)/a"]["priority"] > 0
