@@ -23,7 +23,9 @@ Post-harvest corpus dedup (beyond-reference LLM-pipeline surface):
 Further subcommands (all beyond-reference): ``corpus`` (training-
 corpus build), ``vacuum`` (lake GC), ``index`` (SURT/CDX capture
 index build + host/url queries + CDXJ export), ``graph`` (host
-webgraph: edges, PageRank, anchor-text corpus).
+webgraph: edges, PageRank, anchor-text corpus), ``recrawl``
+(change-rate recrawl schedule over a per-capture index, optionally
+host-rank weighted).
 """
 
 from __future__ import annotations
@@ -162,8 +164,18 @@ def _corpus_main(argv: list[str]) -> int:
                     help="CCNet-style LM gate: drop keeper documents "
                          "whose average unigram NLL under the keeper "
                          "corpus's own distribution exceeds this")
+    ap.add_argument("--nb-seed", dest="nb_seed_path", default=None,
+                    help="parquet of curated seed docs (text column): "
+                         "train a two-class NB classifier (seed vs "
+                         "this corpus) and gate on --min-nb")
+    ap.add_argument("--min-nb", type=float, default=None,
+                    help="keep keeper documents whose mean NB "
+                         "log-likelihood ratio vs the --nb-seed "
+                         "class is at least this (0 = neutral)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if (args.nb_seed_path is None) != (args.min_nb is None):
+        ap.error("--nb-seed and --min-nb must be given together")
     weights = None
     if args.weights:
         weights = {}
@@ -185,6 +197,7 @@ def _corpus_main(argv: list[str]) -> int:
         weights=weights, token_budget=args.token_budget,
         n_shards=args.shards, keeper=args.keeper, span_k=args.span_k,
         min_quality=args.min_quality, max_nll=args.max_nll,
+        nb_seed_path=args.nb_seed_path, min_nb=args.min_nb,
     )
     print(json.dumps(out))
     return 0
@@ -367,6 +380,87 @@ def _vacuum_main(argv: list[str]) -> int:
     return 0
 
 
+def _recrawl_main(argv: list[str]) -> int:
+    """``python -m gleaner_spark recrawl --index <path> --now <ts>
+    --budget <n>``: rank every known URL by expected missed changes
+    (operators/recrawl.py — change rate estimated from capture-index
+    digest history x staleness) and emit the top-``budget`` recrawl
+    schedule. ``--index`` is a per-capture index (``index
+    --per-capture`` parquet output, or CDXJ with --index-format
+    cdxj); ``--ranks`` optionally weights priorities by a host-rank
+    frame (``graph`` output with host_key/rank columns). With
+    ``--out`` the schedule lands as parquet; otherwise the top rows
+    print as JSON lines. Prints a JSON summary either way."""
+    ap = argparse.ArgumentParser(prog="gleaner_spark recrawl")
+    ap.add_argument("--index", required=True,
+                    help="per-capture index: parquet dir or CDXJ dir")
+    ap.add_argument("--index-format", default="parquet",
+                    choices=("parquet", "cdxj"))
+    ap.add_argument("--now", type=int, required=True,
+                    help="scheduling instant (epoch seconds; explicit "
+                         "so runs are reproducible)")
+    ap.add_argument("--budget", type=int, required=True,
+                    help="number of URLs to select")
+    ap.add_argument("--prior-span-s", type=int, default=30 * 24 * 3600,
+                    help="Laplace prior span for the change-rate "
+                         "estimator (default 30 days)")
+    ap.add_argument("--ranks", default=None,
+                    help="optional host-rank parquet (host_key, rank) "
+                         "to weight priorities by host importance")
+    ap.add_argument("--out", default=None, help="schedule parquet dir")
+    ap.add_argument("--print-limit", type=int, default=20,
+                    help="rows printed as JSON lines when --out is "
+                         "omitted")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from .operators.recrawl import (
+        recrawl_priority,
+        select_recrawl,
+        weight_by_host_rank,
+    )
+    from .operators.urlindex import read_cdxj
+
+    spark = build_session("gleaner-recrawl", master=args.master)
+    _ship_package(spark)
+    if args.index_format == "cdxj":
+        idx = read_cdxj(spark, args.index)
+    else:
+        idx = spark.read.parquet(args.index)
+    pri = recrawl_priority(idx, now_ts=args.now,
+                           prior_span_s=args.prior_span_s)
+    pcol = "priority"
+    if args.ranks:
+        ranks = spark.read.parquet(args.ranks)
+        if "host" in ranks.columns and "host_key" not in ranks.columns:
+            # graph CLI output keys on the plain host name; the index
+            # keys on the SURT host (reversed labels) — convert
+            from pyspark.sql import functions as F
+            ranks = ranks.select(
+                F.concat_ws(
+                    ",", F.reverse(F.split(F.col("host"), r"\."))
+                ).alias("host_key"),
+                "rank",
+            )
+        pri = weight_by_host_rank(pri, ranks)
+        pcol = "weighted_priority"
+    sel = select_recrawl(pri, args.budget, priority_col=pcol)
+    summary: dict = {"now": args.now, "budget": args.budget,
+                     "priority_col": pcol}
+    if args.out:
+        sel.write.mode("overwrite").parquet(args.out)
+        summary["out"] = args.out
+        summary["selected"] = spark.read.parquet(args.out).count()
+    else:
+        rows = [r.asDict() for r in sel.limit(args.print_limit).collect()]
+        for r in rows:
+            print(json.dumps(r, default=str))
+        summary["selected"] = len(rows)
+    summary["known_urls"] = pri.count()
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -380,6 +474,8 @@ def main(argv: list[str] | None = None) -> int:
         return _index_main(argv[1:])
     if argv and argv[0] == "graph":
         return _graph_main(argv[1:])
+    if argv and argv[0] == "recrawl":
+        return _recrawl_main(argv[1:])
     ap = argparse.ArgumentParser(prog="gleaner_spark")
     ap.add_argument("--cfg", required=True, help="YAML config (gleanerConfig.go:35-49)")
     ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")

@@ -66,6 +66,8 @@ def build_corpus(
     span_k: int | None = None,
     min_quality: float | None = None,
     max_nll: float | None = None,
+    nb_seed_docs: DataFrame | None = None,
+    min_nb: float | None = None,
 ) -> DataFrame:
     """(doc_id, copy, split, seq_id, seq_offset, shard, shard_pos,
     text) for every keeper document. ``clusters`` is the dup_clusters
@@ -117,6 +119,26 @@ def build_corpus(
         nll = unigram_nll(base, id_col="doc_id", text_col="text")
         base = base.join(
             nll.filter(F.col("avg_nll") <= max_nll).select("doc_id"),
+            "doc_id", "semi",
+        )
+    if nb_seed_docs is not None:
+        # fastText-style seed classifier gate (the GPT-3/CCNet "looks
+        # like the curated seed" filter): train two-class NB with the
+        # seed parquet as class 1 against the keeper corpus as class
+        # 0, score every keeper, keep the seed-like head. Trained
+        # after the cheap gates so the background class is what would
+        # otherwise ship.
+        from ..operators.textops import nb_score_with, nb_train
+
+        if min_nb is None:
+            raise ValueError("nb_seed_docs requires min_nb")
+        labeled = nb_seed_docs.select(
+            F.lit(1).alias("label"), F.col("text")
+        ).unionByName(base.select(F.lit(0).alias("label"), F.col("text")))
+        model = nb_train(labeled)
+        scores = nb_score_with(base, model, id_col="doc_id", text_col="text")
+        base = base.join(
+            scores.filter(F.col("nb_score") >= min_nb).select("doc_id"),
             "doc_id", "semi",
         )
     if eval_docs is not None:
@@ -195,6 +217,8 @@ def run_corpus_build(
     span_k: int | None = None,
     min_quality: float | None = None,
     max_nll: float | None = None,
+    nb_seed_path: str | None = None,
+    min_nb: float | None = None,
 ) -> dict:
     """Build and append the ``corpus`` snapshot. Runs the dedup plan
     first when the lake has no ``dup_clusters`` table yet (one less
@@ -209,11 +233,13 @@ def run_corpus_build(
         run_corpus_dedup(spark, lake, run_id=f"{run_id}-dedup", keeper=keeper)
         clusters = lake.table("dup_clusters").read(spark)
     eval_docs = spark.read.parquet(eval_path) if eval_path else None
+    nb_seed_docs = spark.read.parquet(nb_seed_path) if nb_seed_path else None
     corpus = build_corpus(
         docs, clusters, capacity=capacity, splits=splits, seed=seed,
         eval_docs=eval_docs, decontam_n=decontam_n,
         weights=weights, token_budget=token_budget, n_shards=n_shards,
         span_k=span_k, min_quality=min_quality, max_nll=max_nll,
+        nb_seed_docs=nb_seed_docs, min_nb=min_nb,
     )
     entry = lake.table("corpus").append(
         split_doc_id(corpus, "doc_id"), run_id=run_id

@@ -416,3 +416,56 @@ def test_dedup_embedding_method(spark, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="minhash"):
         dedup_documents(docs, method="simhash")
+
+
+def test_cli_recrawl_schedule(spark, tmp_path, capsys):
+    """recrawl subcommand: per-capture index -> budgeted schedule.
+    The fast-changing URL outranks the static one; --out writes the
+    schedule parquet; summary JSON is the last stdout line."""
+    idx_dir = str(tmp_path / "capidx")
+    out_dir = str(tmp_path / "sched")
+    spark.createDataFrame(
+        [
+            ("org,hot)/x", 1000, "d1"), ("org,hot)/x", 2000, "d2"),
+            ("org,hot)/x", 3000, "d3"),
+            ("org,cold)/y", 1000, "dz"), ("org,cold)/y", 3000, "dz"),
+            ("org,new)/z", 2500, "dq"),
+        ],
+        "surt_key string, ts long, digest string",
+    ).write.mode("overwrite").parquet(idx_dir)
+    rc = main(["recrawl", "--index", idx_dir, "--now", "10000",
+               "--budget", "2", "--out", out_dir])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["selected"] == 2 and summary["known_urls"] == 3
+    sel = {r["surt_key"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert "org,hot)/x" in sel  # two changes in 2000s dominates
+    assert sel["org,hot)/x"]["n_changes"] == 2
+
+
+def test_cli_recrawl_rank_weighted_from_graph_output(spark, tmp_path, capsys):
+    """--ranks consumes the graph subcommand's (host, rank) schema:
+    plain host names convert to SURT host keys, and the budget cut
+    switches to weighted_priority."""
+    idx_dir = str(tmp_path / "capidx")
+    ranks_dir = str(tmp_path / "ranks")
+    spark.createDataFrame(
+        [
+            ("org,big)/x", 1000, "d1"), ("org,big)/x", 2000, "d2"),
+            ("org,tiny)/y", 1000, "d1"), ("org,tiny)/y", 2000, "d2"),
+        ],
+        "surt_key string, ts long, digest string",
+    ).write.mode("overwrite").parquet(idx_dir)
+    # graph CLI schema: host (plain, forward order), rank
+    spark.createDataFrame(
+        [("big.org", 0.9), ("tiny.org", 0.1)], "host string, rank double"
+    ).write.mode("overwrite").parquet(ranks_dir)
+    rc = main(["recrawl", "--index", idx_dir, "--now", "10000",
+               "--budget", "1", "--ranks", ranks_dir])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[-1])
+    assert summary["priority_col"] == "weighted_priority"
+    picked = json.loads(lines[0])
+    # equal change histories: the host-rank tiebreak picks big.org
+    assert picked["surt_key"] == "org,big)/x"

@@ -265,3 +265,50 @@ class TestCorpusNllGate:
             .select("doc_id").collect()
         }
         assert ids == {f"s0\x1fd{i}" for i in range(9)}
+
+
+class TestCorpusNbGate:
+    def test_nb_seed_gate_keeps_seed_like_docs_only(self, spark):
+        """--nb-seed/--min-nb inside the corpus build: NB trained with
+        the seed parquet as class 1 against the keeper corpus as class
+        0; docs reading like the seed score positive and survive
+        min_nb=0, symbol-soup docs score negative and drop."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from gleaner_spark.plans.corpus import build_corpus
+
+        docs = spark.createDataFrame(
+            [("s0", "d1", "alpha beta alpha beta"),
+             ("s0", "d2", "zz@@ ### junk junk")],
+            "source_name string, unique_id string, jsonld string",
+        )
+        clusters = spark.createDataFrame(
+            [("s0\x1fd1", True), ("s0\x1fd2", True)],
+            "id string, is_keeper boolean",
+        )
+        seed = spark.createDataFrame(
+            [("alpha beta alpha beta alpha beta",)], "text string"
+        )
+        out = build_corpus(docs, clusters, capacity=512,
+                           nb_seed_docs=seed, min_nb=0.0)
+        assert {r["doc_id"] for r in out.select("doc_id").collect()} == {
+            "s0\x1fd1"
+        }
+        # without the gate both keepers ship
+        assert build_corpus(docs, clusters, capacity=512).count() == 2
+
+    def test_nb_seed_requires_threshold(self, spark):
+        import pytest as _pytest
+
+        from gleaner_spark.plans.corpus import build_corpus
+
+        docs = spark.createDataFrame(
+            [("s0", "d1", "alpha beta")],
+            "source_name string, unique_id string, jsonld string",
+        )
+        clusters = spark.createDataFrame(
+            [("s0\x1fd1", True)], "id string, is_keeper boolean"
+        )
+        seed = spark.createDataFrame([("alpha",)], "text string")
+        with _pytest.raises(ValueError, match="min_nb"):
+            build_corpus(docs, clusters, nb_seed_docs=seed)
