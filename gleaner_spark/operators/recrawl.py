@@ -51,10 +51,14 @@ def change_stats(capture_index: DataFrame) -> DataFrame:
     """Per-key capture-history summary from a per-capture index
     (build_capture_index / read_cdxj granularity: one row per capture
     with surt_key, ts, digest): (surt_key, n_captures, n_changes,
-    first_ts, last_ts). ``n_changes`` counts digest transitions in
-    (ts, digest) order; ts values cast to epoch seconds (longs pass
-    through). NULL surt_keys (junk URLs) are dropped — they identify
-    no fetchable page."""
+    first_ts, last_ts[, url]). ``n_changes`` counts digest
+    transitions in (ts, digest) order; ts values cast to epoch
+    seconds (longs pass through). When the index carries a ``url``
+    column, the bytewise-min original URL rides along as the
+    fetchable address of the key (deterministic under parallelism —
+    the build_url_index sample rule), so a schedule row is directly
+    actionable without a join back to the index. NULL surt_keys
+    (junk URLs) are dropped — they identify no fetchable page."""
     w = Window.partitionBy("surt_key").orderBy(
         F.col("_ts").asc(), F.col("digest").asc()
     )
@@ -63,17 +67,23 @@ def change_stats(capture_index: DataFrame) -> DataFrame:
         prev.isNotNull() & F.col("digest").isNotNull()
         & (F.col("digest") != prev)
     ).cast("long")
+    has_url = "url" in capture_index.columns
+    cols = ["surt_key", F.col("ts").cast("long").alias("_ts"), "digest"]
+    aggs = [
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum("_chg").alias("n_changes"),
+        F.min("_ts").alias("first_ts"),
+        F.max("_ts").alias("last_ts"),
+    ]
+    if has_url:
+        cols.append("url")
+        aggs.append(F.min("url").alias("url"))
     return (
         capture_index.filter(F.col("surt_key").isNotNull())
-        .select("surt_key", F.col("ts").cast("long").alias("_ts"), "digest")
+        .select(*cols)
         .withColumn("_chg", chg)
         .groupBy("surt_key")
-        .agg(
-            F.count(F.lit(1)).alias("n_captures"),
-            F.sum("_chg").alias("n_changes"),
-            F.min("_ts").alias("first_ts"),
-            F.max("_ts").alias("last_ts"),
-        )
+        .agg(*aggs)
     )
 
 
@@ -94,12 +104,15 @@ def recrawl_priority(capture_index: DataFrame, now_ts: int,
         + float(prior_span_s)
     )
     age = F.greatest(F.lit(int(now_ts)) - F.col("last_ts"), F.lit(0))
-    return stats.select(
+    out = [
         "surt_key",
         F.substring_index("surt_key", ")", 1).alias("host_key"),
         "n_captures", "n_changes", "last_ts",
         F.round(rate * age.cast("double"), decimals).alias("priority"),
-    )
+    ]
+    if "url" in stats.columns:
+        out.insert(1, "url")
+    return stats.select(*out)
 
 
 def weight_by_host_rank(priorities: DataFrame, ranks: DataFrame,
@@ -117,13 +130,13 @@ def weight_by_host_rank(priorities: DataFrame, ranks: DataFrame,
     rank frame (tiny next to the priority frame — hosts, not URLs —
     so AQE broadcasts it at real scale)."""
     floor = ranks.agg(F.min("rank").alias("_floor"))
+    keep = [c for c in priorities.columns if c != "host_key"]
     return (
         priorities
         .join(ranks.select("host_key", "rank"), "host_key", "left")
         .crossJoin(F.broadcast(floor))
         .select(
-            "surt_key", "host_key", "n_captures", "n_changes", "last_ts",
-            "priority",
+            "host_key", *keep,
             F.round(
                 F.col("priority") * F.coalesce("rank", "_floor"), decimals
             ).alias("weighted_priority"),

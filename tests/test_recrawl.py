@@ -191,3 +191,26 @@ class TestSelectAndWeight:
         assert got["org,example)/a"]["n_changes"] == 1
         assert got["org,example)/b"]["n_changes"] == 0
         assert got["org,example)/a"]["priority"] > 0
+        # the schedule row is directly fetchable: the index's url
+        # column rides through as the bytewise-min original URL
+        assert got["org,example)/a"]["url"] == "https://example.org/a"
+
+    def test_url_sample_optional_and_survives_rank_weighting(self, spark):
+        """A url-less index (the oracle's synthetic shape) yields no
+        url column; with urls present, weight_by_host_rank keeps the
+        sample beside weighted_priority."""
+        bare = _caps(spark, [("org,a)/x", 100, "d1")])
+        assert "url" not in recrawl_priority(bare, 10_000).columns
+        with_url = spark.createDataFrame(
+            [("org,a)/x", 100, "d1", "https://a.org/x?b=1"),
+             ("org,a)/x", 200, "d2", "https://a.org/x")],
+            "surt_key string, ts long, digest string, url string",
+        )
+        ranks = spark.createDataFrame(
+            [("org,a", 0.5)], "host_key string, rank double"
+        )
+        row = weight_by_host_rank(
+            recrawl_priority(with_url, 10_000), ranks
+        ).collect()[0]
+        assert row["url"] == "https://a.org/x"
+        assert row["weighted_priority"] == round(row["priority"] * 0.5, 9)
