@@ -404,6 +404,10 @@ def _recrawl_main(argv: list[str]) -> int:
     ap.add_argument("--prior-span-s", type=int, default=30 * 24 * 3600,
                     help="Laplace prior span for the change-rate "
                          "estimator (default 30 days)")
+    ap.add_argument("--per-host-cap", type=int, default=None,
+                    help="bound any single host's share of the budget "
+                         "(politeness-aware schedules; a lane "
+                         "serializes per host)")
     ap.add_argument("--ranks", default=None,
                     help="optional host-rank parquet (host_key, rank) "
                          "to weight priorities by host importance")
@@ -444,7 +448,8 @@ def _recrawl_main(argv: list[str]) -> int:
             )
         pri = weight_by_host_rank(pri, ranks)
         pcol = "weighted_priority"
-    sel = select_recrawl(pri, args.budget, priority_col=pcol)
+    sel = select_recrawl(pri, args.budget, priority_col=pcol,
+                         per_host_cap=args.per_host_cap)
     summary: dict = {"now": args.now, "budget": args.budget,
                      "priority_col": pcol}
     if args.out:

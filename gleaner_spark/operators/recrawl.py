@@ -145,15 +145,40 @@ def weight_by_host_rank(priorities: DataFrame, ranks: DataFrame,
 
 
 def select_recrawl(priorities: DataFrame, budget: int,
-                   priority_col: str = "priority") -> DataFrame:
+                   priority_col: str = "priority",
+                   per_host_cap: int | None = None) -> DataFrame:
     """The budget cut: the ``budget`` highest-priority URLs, totally
     ordered by (priority desc, surt_key asc) so the selected SET is
     deterministic and partition-invariant even across rounded-priority
     ties. Spark plans orderBy+limit as TakeOrderedAndProject —
     per-partition top-N, merged once — so a 10^9-row priority frame
-    never globally sorts."""
+    never globally sorts.
+
+    ``per_host_cap`` bounds any single host's share of the budget
+    BEFORE the global cut (a schedule that spends its whole budget on
+    one giant host is useless under that host's politeness budget —
+    the lane serializes; the frontier's max_urls_per_host is the same
+    control one stage earlier). Each host keeps only its
+    ``per_host_cap`` best URLs under the same total order. The
+    row_number window prunes as WindowGroupLimit (per-partition
+    partial top-k per host before the host shuffle — the ann_lsh
+    pinned shape), so a 10^7-URL host never sorts whole in one
+    task."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    if per_host_cap is not None:
+        if per_host_cap < 1:
+            raise ValueError(
+                f"per_host_cap must be >= 1, got {per_host_cap}"
+            )
+        w = Window.partitionBy("host_key").orderBy(
+            F.col(priority_col).desc(), F.col("surt_key").asc()
+        )
+        priorities = (
+            priorities.withColumn("_hr", F.row_number().over(w))
+            .filter(F.col("_hr") <= per_host_cap)
+            .drop("_hr")
+        )
     return priorities.orderBy(
         F.col(priority_col).desc(), F.col("surt_key").asc()
     ).limit(budget)

@@ -441,6 +441,14 @@ def test_cli_recrawl_schedule(spark, tmp_path, capsys):
     sel = {r["surt_key"]: r for r in spark.read.parquet(out_dir).collect()}
     assert "org,hot)/x" in sel  # two changes in 2000s dominates
     assert sel["org,hot)/x"]["n_changes"] == 2
+    # per-host cap: hot and cold live on different hosts already, so
+    # cap=1 forces one URL per host in the selection
+    rc = main(["recrawl", "--index", idx_dir, "--now", "10000",
+               "--budget", "2", "--per-host-cap", "1", "--out", out_dir])
+    assert rc == 0
+    capsys.readouterr()
+    hosts = [r["host_key"] for r in spark.read.parquet(out_dir).collect()]
+    assert len(hosts) == 2 and len(set(hosts)) == 2
 
 
 def test_cli_recrawl_rank_weighted_from_graph_output(spark, tmp_path, capsys):

@@ -1,9 +1,9 @@
 """The full user journey through the CLI, end to end on one corpus:
 WARC archives → harvest (3-phase pipeline) → corpus dedup →
-training-corpus build → capture index (+host query) → webgraph.
-Every subcommand consumes the previous one's output — the
-integration pin that the pieces compose, not just pass their own
-suites."""
+training-corpus build → capture index (+host query) → webgraph →
+recrawl schedule. Every subcommand consumes the previous one's
+output — the integration pin that the pieces compose, not just pass
+their own suites."""
 
 import json
 
@@ -76,3 +76,22 @@ def test_full_journey(spark, journey_dirs, tmp_path, capsys):
                  "--out", g_out, "--anchors", "--domains"]) == 0
     g = _last_json(capsys)
     assert g["edges"] == 0 and g["hosts"] == 0
+
+    # 6. recrawl schedule over a per-capture index from the same
+    # archives (one capture per URL here, so every key takes the
+    # prior rate and the budget cut is exercised end to end)
+    cap_out = str(tmp_path / "capindex")
+    assert main(["index", "--pages", warc_dir, "--pages-format", "warc",
+                 "--out", cap_out, "--per-capture"]) == 0
+    capsys.readouterr()
+    sched_out = str(tmp_path / "schedule")
+    assert main(["recrawl", "--index", cap_out, "--now", "2000000000",
+                 "--budget", "25", "--per-host-cap", "10",
+                 "--out", sched_out]) == 0
+    rs = _last_json(capsys)
+    assert rs["selected"] == 25 and rs["known_urls"] == N_PAGES
+    sched = spark.read.parquet(sched_out)
+    hosts = [r["host_key"] for r in sched.collect()]
+    assert max(hosts.count(h) for h in set(hosts)) <= 10
+    # schedule rows are fetchable: original URLs ride along
+    assert sched.filter(sched["url"].isNull()).count() == 0

@@ -153,6 +153,43 @@ class TestSelectAndWeight:
         with pytest.raises(ValueError, match="budget"):
             select_recrawl(pri, -1)
 
+    def test_per_host_cap_bounds_any_hosts_share(self, spark):
+        """One hot host would otherwise fill the whole budget; the cap
+        keeps its k best and lets other hosts in. The window prunes as
+        WindowGroupLimit (partial per-host top-k before the shuffle)."""
+        rows = [
+            # host org,hot: 20 fast-changing URLs (2 changes each)
+            (f"org,hot)/p/{i}", ts, d)
+            for i in range(20)
+            for ts, d in ((100, "d1"), (200, "d2"), (300, "d3"))
+        ] + [
+            # host org,slow: 5 URLs with 1 change each
+            (f"org,slow)/p/{i}", ts, d)
+            for i in range(5)
+            for ts, d in ((100, "d1"), (200, "d2"))
+        ]
+        pri = recrawl_priority(_caps(spark, rows), 10_000)
+        uncapped = select_recrawl(pri, 10)
+        assert {r["host_key"] for r in uncapped.collect()} == {"org,hot"}
+        capped = select_recrawl(pri, 10, per_host_cap=6)
+        got = capped.collect()
+        hosts = [r["host_key"] for r in got]
+        assert hosts.count("org,hot") == 6
+        assert hosts.count("org,slow") == 4
+        # the hot host's kept URLs are its 6 best under the total order
+        hot_all = sorted(
+            (r for r in pri.collect() if r["host_key"] == "org,hot"),
+            key=lambda r: (-r["priority"], r["surt_key"]),
+        )
+        assert {r["surt_key"] for r in got if r["host_key"] == "org,hot"} \
+            == {r["surt_key"] for r in hot_all[:6]}
+        plan = select_recrawl(
+            pri, 10, per_host_cap=6
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan
+        with pytest.raises(ValueError, match="per_host_cap"):
+            select_recrawl(pri, 10, per_host_cap=0)
+
     def test_rank_weighting_and_min_floor(self, spark):
         """Ranked hosts scale by their rank; a host missing from the
         rank frame takes the minimum observed rank, never zero."""
