@@ -788,6 +788,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TX.nb_quality(d).select("doc_id", "n_tokens", "nb_score")
     q["text_nb"] = text_nb
 
+    # ---- text: GPT-2-style pre-tokenizer token counts ----
+    def text_bpe_tokens(spark, sf):
+        return TX.bpe_token_stats(_t(spark, sf, "documents")).select(
+            "doc_id", "n_tokens", "n_bpe_tokens"
+        )
+    q["text_bpe_tokens"] = text_bpe_tokens
+
     # ---- crawl scheduling: change-rate recrawl priorities over a
     # synthetic capture history (50 URL groups x ~10 captures each;
     # digests flip on a doc_id % 3 pattern so every group has its own
@@ -1762,6 +1769,16 @@ SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                  - ln((c.c0 + 1.0) / (t.t0 + t.v))), 4) AS nb_score
 FROM e JOIN c USING (tok) CROSS JOIN t
 GROUP BY e.doc_id
+"""
+
+    # BPE-ish pre-tokenizer count: RE2 replays the identical pattern
+    o["text_bpe_tokens"] = f"""
+SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+         AS BIGINT) AS n_bpe_tokens
+FROM documents
 """
 
     # recrawl scheduling: lag-window transition count + the pinned

@@ -63,6 +63,40 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# GPT-2-style pre-tokenizer split, engine-portable: the reference
+# pattern's \s+(?!\S) lookahead is not RE2-expressible, so runs of
+# whitespace before a word collapse into one whitespace token here
+# (GPT-2 would leave the last space to lead the word) — a documented
+# deviation that only shifts counts on multi-space runs. Alternation
+# branches are first-char disjoint except the contraction head, where
+# first-match and leftmost-longest semantics provably agree, so Java
+# regex (Spark) and RE2 (DuckDB) count identically — differential-
+# pinned on unicode/contraction/symbol cases and by the driver oracle.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Subword-aware token counting: the whitespace count beside a
+    GPT-2-pre-tokenizer ("BPE-ish") count. Training budgets are set
+    in model tokens, not words — prose runs ~1.3 pre-tokens per word
+    while code/symbol-heavy text explodes ('a-b_c' is 1 word but 5
+    pre-tokens) — so budget math on whitespace counts alone
+    systematically over-fills context windows on exactly the
+    documents quality filters most need to see. Returns (id,
+    n_tokens, n_bpe_tokens); n_bpe_tokens/n_tokens is itself a junk
+    signal (symbol soup scores high).
+
+    Pure regexp_count column expressions — whole-stage codegen, zero
+    exchanges, no UDFs; the 10^10-row shape is a map-only scan."""
+    return docs.select(
+        F.col(id_col),
+        X.token_count(F.col(text_col)).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE))
+        .cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return docs.select(
         F.col(id_col),

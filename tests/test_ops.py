@@ -1636,3 +1636,32 @@ class TestNbQuality:
         plan = nb_quality(df)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Window" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestBpeTokenStats:
+    def test_known_counts_and_plan(self, spark):
+        """Hand-computed GPT-2-pre-tokenizer counts (contractions,
+        unicode, symbol runs, the documented multi-space deviation);
+        plan is a pure map-side scan."""
+        from gleaner_spark.operators.textops import bpe_token_stats
+
+        cases = [
+            (0, "Hello world", 2),          # word + space-word
+            (1, "can't stop won't", 5),     # contractions split
+            (2, "a-b_c", 5),                # symbol-heavy explosion
+            (3, "3.14 apples", 4),
+            (4, "x  y", 3),                 # multi-space run: one ws token
+            (5, "mixed123abc", 3),          # letter/digit boundaries
+            (6, "", 0),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in cases], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in bpe_token_stats(df).collect()}
+        for i, _, want in cases:
+            assert got[i]["n_bpe_tokens"] == want, (i, got[i])
+        # whitespace count rides along for the budget ratio
+        assert got[1]["n_tokens"] == 3
+        plan = bpe_token_stats(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan, plan
