@@ -141,8 +141,13 @@ def _corpus_main(argv: list[str]) -> int:
                          "keep; unlisted sources weight 1)")
     ap.add_argument("--token-budget", type=int, default=None,
                     help="keep the maximal hash-order prefix of the "
-                         "mixed corpus with <= this many whitespace "
-                         "tokens")
+                         "mixed corpus with <= this many tokens "
+                         "(counted per --budget-tokenizer)")
+    ap.add_argument("--budget-tokenizer", default="ws",
+                    choices=("ws", "bpe"),
+                    help="token counter for --token-budget: ws = "
+                         "whitespace words, bpe = GPT-2-style "
+                         "pre-tokenizer (model-token-shaped budgets)")
     ap.add_argument("--shards", type=int, default=None,
                     help="training-order shuffle: assign each packed "
                          "sequence a (shard, shard_pos) over this many "
@@ -195,6 +200,7 @@ def _corpus_main(argv: list[str]) -> int:
         capacity=args.capacity, seed=args.seed,
         eval_path=args.eval_path, decontam_n=args.decontam_n,
         weights=weights, token_budget=args.token_budget,
+        budget_tokenizer=args.budget_tokenizer,
         n_shards=args.shards, keeper=args.keeper, span_k=args.span_k,
         min_quality=args.min_quality, max_nll=args.max_nll,
         nb_seed_path=args.nb_seed_path, min_nb=args.min_nb,

@@ -62,6 +62,7 @@ def build_corpus(
     decontam_n: int = DEFAULT_N,
     weights: dict[str, float] | None = None,
     token_budget: int | None = None,
+    budget_tokenizer: str = "ws",
     n_shards: int | None = None,
     span_k: int | None = None,
     min_quality: float | None = None,
@@ -166,8 +167,30 @@ def build_corpus(
         "pack_id", F.concat_ws("#", F.col("doc_id"), F.col("copy").cast("string"))
     )
     if token_budget is not None:
-        base = sample_token_budget(base, token_budget, id_col="pack_id",
-                                   text_col="text", seed=seed)
+        # budget_tokenizer="bpe" counts context-window mass the way a
+        # model tokenizer would (textops.bpe_token_stats rationale:
+        # whitespace counts under-bill symbol-heavy text); the count
+        # is a map-side column feeding the same prefix-sum sampler
+        if budget_tokenizer == "bpe":
+            from ..operators.textops import BPE_SPLIT_RE
+
+            base = base.withColumn(
+                "_budget_n",
+                F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_RE))
+                .cast("long"),
+            )
+            base = sample_token_budget(
+                base, token_budget, id_col="pack_id",
+                tokens_col="_budget_n", seed=seed,
+            ).drop("_budget_n")
+        elif budget_tokenizer == "ws":
+            base = sample_token_budget(base, token_budget, id_col="pack_id",
+                                       text_col="text", seed=seed)
+        else:
+            raise ValueError(
+                f"budget_tokenizer must be 'ws' or 'bpe', got "
+                f"{budget_tokenizer!r}"
+            )
     scrubbed = redact_pii(base, text_col="text", out_col="text_clean").select(
         "doc_id", "copy", "pack_id", "source_name",
         F.col("text_clean").alias("text"),
@@ -212,6 +235,7 @@ def run_corpus_build(
     decontam_n: int = DEFAULT_N,
     weights: dict[str, float] | None = None,
     token_budget: int | None = None,
+    budget_tokenizer: str = "ws",
     n_shards: int | None = None,
     keeper: str = "min_id",
     span_k: int | None = None,
@@ -237,7 +261,8 @@ def run_corpus_build(
     corpus = build_corpus(
         docs, clusters, capacity=capacity, splits=splits, seed=seed,
         eval_docs=eval_docs, decontam_n=decontam_n,
-        weights=weights, token_budget=token_budget, n_shards=n_shards,
+        weights=weights, token_budget=token_budget,
+        budget_tokenizer=budget_tokenizer, n_shards=n_shards,
         span_k=span_k, min_quality=min_quality, max_nll=max_nll,
         nb_seed_docs=nb_seed_docs, min_nb=min_nb,
     )

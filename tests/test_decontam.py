@@ -312,3 +312,33 @@ class TestCorpusNbGate:
         seed = spark.createDataFrame([("alpha",)], "text string")
         with _pytest.raises(ValueError, match="min_nb"):
             build_corpus(docs, clusters, nb_seed_docs=seed)
+
+
+class TestCorpusBudgetTokenizer:
+    def test_bpe_budget_counts_model_shaped_tokens(self, spark):
+        """'a-b_c x' is 2 whitespace tokens but 7 pre-tokenizer tokens:
+        a budget of 3 keeps it under ws counting and drops it under
+        bpe counting — the budget switch actually switches counters."""
+        import pytest as _pytest
+
+        from gleaner_spark.plans.corpus import build_corpus
+
+        docs = spark.createDataFrame(
+            [("s0", "d1", "a-b_c x")],
+            "source_name string, unique_id string, jsonld string",
+        )
+        clusters = spark.createDataFrame(
+            [("s0\x1fd1", True)], "id string, is_keeper boolean"
+        )
+        ws = build_corpus(docs, clusters, capacity=512,
+                          token_budget=3, budget_tokenizer="ws")
+        assert ws.count() == 1
+        bpe = build_corpus(docs, clusters, capacity=512,
+                           token_budget=3, budget_tokenizer="bpe")
+        assert bpe.count() == 0
+        # and a budget that fits the bpe count keeps it again
+        assert build_corpus(docs, clusters, capacity=512,
+                            token_budget=7, budget_tokenizer="bpe").count() == 1
+        with _pytest.raises(ValueError, match="budget_tokenizer"):
+            build_corpus(docs, clusters, token_budget=3,
+                         budget_tokenizer="chars")
