@@ -414,6 +414,12 @@ def _recrawl_main(argv: list[str]) -> int:
                     help="bound any single host's share of the budget "
                          "(politeness-aware schedules; a lane "
                          "serializes per host)")
+    ap.add_argument("--delay", type=float, default=1.0,
+                    help="per-host crawl-delay seconds for the ETA "
+                         "estimate in the summary (default 1.0)")
+    ap.add_argument("--threads", type=int, default=1,
+                    help="politeness threads per host for the ETA "
+                         "estimate (default 1)")
     ap.add_argument("--ranks", default=None,
                     help="optional host-rank parquet (host_key, rank) "
                          "to weight priorities by host importance")
@@ -426,6 +432,7 @@ def _recrawl_main(argv: list[str]) -> int:
 
     from .operators.recrawl import (
         recrawl_priority,
+        schedule_eta,
         select_recrawl,
         weight_by_host_rank,
     )
@@ -461,12 +468,22 @@ def _recrawl_main(argv: list[str]) -> int:
     if args.out:
         sel.write.mode("overwrite").parquet(args.out)
         summary["out"] = args.out
-        summary["selected"] = spark.read.parquet(args.out).count()
+        sel = spark.read.parquet(args.out)
+        summary["selected"] = sel.count()
     else:
         rows = [r.asDict() for r in sel.limit(args.print_limit).collect()]
         for r in rows:
             print(json.dumps(r, default=str))
         summary["selected"] = len(rows)
+    # politeness reality check: the schedule's wall-clock is its
+    # worst host's serial lane, not its row count
+    from pyspark.sql import functions as _F
+    eta = schedule_eta(sel, default_delay_s=args.delay,
+                       threads=args.threads)
+    worst = eta.orderBy(_F.col("eta_s").desc(), "host_key").limit(1).collect()
+    if worst:
+        summary["eta_s"] = float(worst[0]["eta_s"])
+        summary["bottleneck_host"] = worst[0]["host_key"]
     summary["known_urls"] = pri.count()
     print(json.dumps(summary))
     return 0

@@ -182,3 +182,41 @@ def select_recrawl(priorities: DataFrame, budget: int,
     return priorities.orderBy(
         F.col(priority_col).desc(), F.col("surt_key").asc()
     ).limit(budget)
+
+
+def schedule_eta(schedule: DataFrame, default_delay_s: float = 1.0,
+                 delays: DataFrame | None = None,
+                 threads: int = 1) -> DataFrame:
+    """Politeness-aware completion estimate per host: a host's lane
+    serializes (one fetch per crawl-delay per politeness thread), so
+    a schedule's wall-clock is its WORST host, not its row count /
+    cluster size — the quantity to inspect before launching a crawl
+    no amount of executors can finish sooner. Returns (host_key,
+    n_urls, delay_s, eta_s) with eta_s = ceil(n_urls / threads) *
+    delay_s; the schedule's overall ETA is ``max(eta_s)`` and the
+    argmax host is the bottleneck (exactly the S13 politeness model:
+    ``threads`` parallel lanes per host, ``delay`` seconds between
+    fetches on a lane — operators/frontier.schedule_fetches).
+
+    ``delays`` optionally supplies per-host crawl-delays (host_key,
+    delay_s) — e.g. parsed robots crawl-delay budgets; absent hosts
+    take ``default_delay_s``. One partial-agg exchange on host_key
+    plus a broadcast-size join against the delay frame."""
+    per_host = schedule.groupBy("host_key").agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+    if delays is not None:
+        per_host = per_host.join(
+            delays.select("host_key", "delay_s"), "host_key", "left"
+        ).withColumn(
+            "delay_s", F.coalesce("delay_s", F.lit(float(default_delay_s)))
+        )
+    else:
+        per_host = per_host.withColumn(
+            "delay_s", F.lit(float(default_delay_s))
+        )
+    return per_host.select(
+        "host_key", "n_urls", "delay_s",
+        (F.ceil(F.col("n_urls") / float(max(threads, 1)))
+         * F.col("delay_s")).alias("eta_s"),
+    )

@@ -438,6 +438,9 @@ def test_cli_recrawl_schedule(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["selected"] == 2 and summary["known_urls"] == 3
+    # politeness ETA: 2 selected URLs on 2 hosts at the default 1s
+    # delay -> worst lane is 1 fetch = 1s
+    assert summary["eta_s"] == 1.0 and summary["bottleneck_host"]
     sel = {r["surt_key"]: r for r in spark.read.parquet(out_dir).collect()}
     assert "org,hot)/x" in sel  # two changes in 2000s dominates
     assert sel["org,hot)/x"]["n_changes"] == 2

@@ -251,3 +251,34 @@ class TestSelectAndWeight:
         ).collect()[0]
         assert row["url"] == "https://a.org/x"
         assert row["weighted_priority"] == round(row["priority"] * 0.5, 9)
+
+
+class TestScheduleEta:
+    def test_eta_math_delays_and_threads(self, spark):
+        from gleaner_spark.operators.recrawl import schedule_eta
+
+        sched = spark.createDataFrame(
+            [("org,a", f"org,a)/p/{i}") for i in range(10)]
+            + [("org,b", f"org,b)/p/{i}") for i in range(3)],
+            "host_key string, surt_key string",
+        )
+        got = {r["host_key"]: r for r in schedule_eta(sched, 2.0).collect()}
+        assert got["org,a"]["eta_s"] == 20.0  # 10 urls x 2s serial
+        assert got["org,b"]["eta_s"] == 6.0
+        # per-host delays override; missing hosts take the default
+        delays = spark.createDataFrame(
+            [("org,a", 5.0)], "host_key string, delay_s double"
+        )
+        got = {
+            r["host_key"]: r
+            for r in schedule_eta(sched, 2.0, delays=delays).collect()
+        }
+        assert got["org,a"]["eta_s"] == 50.0
+        assert got["org,b"]["eta_s"] == 6.0
+        # politeness threads divide the lane: ceil(10/3) * 2s
+        got = {
+            r["host_key"]: r
+            for r in schedule_eta(sched, 2.0, threads=3).collect()
+        }
+        assert got["org,a"]["eta_s"] == 8.0
+        assert got["org,b"]["eta_s"] == 2.0
