@@ -1665,3 +1665,50 @@ class TestBpeTokenStats:
         plan = bpe_token_stats(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+class TestBpeCrossEngineDifferential:
+    def test_randomized_java_vs_re2_agreement(self, spark):
+        """The BPE_SPLIT_RE docstring claims Java regex (Spark) and
+        RE2 (DuckDB) count identically because the branches were
+        chosen to make first-match and leftmost-longest semantics
+        agree — pin it on 400 seeded adversarial strings (unicode
+        letters, digits, contractions, symbol runs, whitespace runs)
+        batched through one Spark job and one DuckDB query."""
+        import random
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from gleaner_spark.operators.textops import BPE_SPLIT_RE
+
+        rng = random.Random(20260821)
+        atoms = ["a", "Zb", "ü", "你", "3", "14", "'s", "'t", "'re", "'x",
+                 "-", "_", ".", "!?", " ", "  ", "\t", "\n", "'", "e.g",
+                 "can't", "π", "½", "©", "%20"]
+        examples = [""]
+        for _ in range(400):
+            examples.append(
+                "".join(rng.choice(atoms) for _ in range(rng.randint(0, 12)))
+            )
+        examples = list(dict.fromkeys(examples))
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(examples)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id",
+                F.regexp_count("text", F.lit(BPE_SPLIT_RE)).alias("n"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        bad = []
+        for i, t in enumerate(examples):
+            want = con.execute(
+                "select len(regexp_extract_all(?, ?))", [t, BPE_SPLIT_RE]
+            ).fetchone()[0]
+            if got[i] != want:
+                bad.append((repr(t), got[i], want))
+        assert not bad, bad[:5]
