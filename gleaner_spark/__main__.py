@@ -25,7 +25,8 @@ corpus build), ``vacuum`` (lake GC), ``index`` (SURT/CDX capture
 index build + host/url queries + CDXJ export), ``graph`` (host
 webgraph: edges, PageRank, anchor-text corpus), ``recrawl``
 (change-rate recrawl schedule over a per-capture index, optionally
-host-rank weighted).
+host-rank weighted), ``classify`` (per-document quality scorecard
+for gate calibration).
 """
 
 from __future__ import annotations
@@ -386,6 +387,40 @@ def _vacuum_main(argv: list[str]) -> int:
     return 0
 
 
+def _classify_main(argv: list[str]) -> int:
+    """``python -m gleaner_spark classify --lake <path>``: compute the
+    per-document quality scorecard (plans/scorecard.py — q_* features,
+    language id, whitespace + BPE-ish token counts, Gopher repetition
+    signals, unigram-NLL, optional NB seed-classifier score) and
+    append it as a ``doc_scores`` snapshot (or ``--out`` parquet).
+    Gate thresholds for the corpus build are then a SQL query over
+    this narrow table. Prints a JSON summary with headline means."""
+    ap = argparse.ArgumentParser(prog="gleaner_spark classify")
+    ap.add_argument("--lake", required=True, help="harvested lake root")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--nb-seed", dest="nb_seed_path", default=None,
+                    help="curated seed parquet (text column): also "
+                         "score seed-vs-corpus NB log-likelihood "
+                         "ratios")
+    ap.add_argument("--out", default=None,
+                    help="write plain parquet here instead of "
+                         "appending a doc_scores snapshot")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from .plans.scorecard import run_scorecard
+
+    spark = build_session("gleaner-classify", master=args.master)
+    _ship_package(spark)
+    out = run_scorecard(
+        spark, Lake(args.lake),
+        run_id=args.run_id or f"classify-{int(time.time())}",
+        nb_seed_path=args.nb_seed_path, out_path=args.out,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def _recrawl_main(argv: list[str]) -> int:
     """``python -m gleaner_spark recrawl --index <path> --now <ts>
     --budget <n>``: rank every known URL by expected missed changes
@@ -417,6 +452,10 @@ def _recrawl_main(argv: list[str]) -> int:
     ap.add_argument("--delay", type=float, default=1.0,
                     help="per-host crawl-delay seconds for the ETA "
                          "estimate in the summary (default 1.0)")
+    ap.add_argument("--delays", default=None,
+                    help="optional parquet of per-host crawl-delays "
+                         "(host_key, delay_s) — e.g. parsed robots "
+                         "budgets; absent hosts take --delay")
     ap.add_argument("--threads", type=int, default=1,
                     help="politeness threads per host for the ETA "
                          "estimate (default 1)")
@@ -478,8 +517,9 @@ def _recrawl_main(argv: list[str]) -> int:
     # politeness reality check: the schedule's wall-clock is its
     # worst host's serial lane, not its row count
     from pyspark.sql import functions as _F
+    delays_df = spark.read.parquet(args.delays) if args.delays else None
     eta = schedule_eta(sel, default_delay_s=args.delay,
-                       threads=args.threads)
+                       delays=delays_df, threads=args.threads)
     worst = eta.orderBy(_F.col("eta_s").desc(), "host_key").limit(1).collect()
     if worst:
         summary["eta_s"] = float(worst[0]["eta_s"])
@@ -504,6 +544,8 @@ def main(argv: list[str] | None = None) -> int:
         return _graph_main(argv[1:])
     if argv and argv[0] == "recrawl":
         return _recrawl_main(argv[1:])
+    if argv and argv[0] == "classify":
+        return _classify_main(argv[1:])
     ap = argparse.ArgumentParser(prog="gleaner_spark")
     ap.add_argument("--cfg", required=True, help="YAML config (gleanerConfig.go:35-49)")
     ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")

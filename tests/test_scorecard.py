@@ -1,0 +1,95 @@
+"""Per-document scorecard plan (plans/scorecard.py) + classify CLI."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from gleaner_spark.plans.scorecard import build_scorecard
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [("s0", "d1", "the quick brown fox jumps over the lazy dog"),
+         ("s0", "d2", "zz@@ ### !!! @@@ ^^^ &&& symbols only here"),
+         ("s1", "d3", "alpha beta alpha beta alpha beta alpha beta")],
+        "source_name string, unique_id string, jsonld string",
+    )
+
+
+class TestBuildScorecard:
+    def test_one_row_per_doc_with_every_signal(self, spark):
+        out = build_scorecard(_docs(spark))
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert len(rows) == 3
+        for need in ("q_score", "predicted_lang", "n_tokens",
+                     "n_bpe_tokens", "top_token_count", "uniq_3grams",
+                     "avg_nll", "nb_score"):
+            assert need in out.columns, need
+        d1 = rows["s0\x1fd1"]
+        d2 = rows["s0\x1fd2"]
+        # prose reads en, scores better than symbol soup on quality
+        # and on the bpe/ws ratio (symbols explode under the
+        # pre-tokenizer)
+        assert d1["predicted_lang"] == "en"
+        assert d1["q_score"] > d2["q_score"]
+        assert (d2["n_bpe_tokens"] / d2["n_tokens"]) > (
+            d1["n_bpe_tokens"] / d1["n_tokens"])
+        # repeated-phrase doc: top token is half its tokens
+        d3 = rows["s1\x1fd3"]
+        assert d3["top_token_count"] == 4 and d3["n_tokens"] == 8
+        # without a seed the nb column exists but is NULL
+        assert all(r["nb_score"] is None for r in rows.values())
+
+    def test_nb_seed_scores_and_reshard_invariance(self, spark):
+        seed = spark.createDataFrame(
+            [("the quick brown fox jumps high",)], "text string"
+        )
+        a = build_scorecard(_docs(spark), nb_seed_docs=seed)
+        rows = {r["doc_id"]: r for r in a.collect()}
+        assert rows["s0\x1fd1"]["nb_score"] is not None
+        # seed-like prose outscores symbol soup
+        assert rows["s0\x1fd1"]["nb_score"] > rows["s0\x1fd2"]["nb_score"]
+        b = {
+            r["doc_id"]: r
+            for r in build_scorecard(
+                _docs(spark).repartition(7), nb_seed_docs=seed
+            ).collect()
+        }
+        assert {k: tuple(v) for k, v in rows.items()} == {
+            k: tuple(v) for k, v in b.items()
+        }
+
+
+def test_cli_classify_over_harvested_lake(spark, tmp_lake, tmp_path, capsys):
+    """classify appends a doc_scores snapshot over a harvested lake;
+    a second run with --out writes plain parquet instead. Thresholds
+    derived from the snapshot match a direct filter of the corpus
+    gate's quality operator."""
+    from gleaner_spark.__main__ import main
+    from gleaner_spark.plans.lake import Lake
+    from tests.test_cli import _write_fixtures
+
+    fx = _write_fixtures(spark, str(tmp_path), n=120)
+    assert main([
+        "--cfg", fx["cfg"], "--pages", fx["pages"], "--seeds", fx["seeds"],
+        "--lake", tmp_lake, "--setup", "--run-id", "sc-h",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["classify", "--lake", tmp_lake, "--run-id", "sc-1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lake = Lake(tmp_lake)
+    n_docs = lake.table("documents").read(spark).count()
+    assert out["documents"] == n_docs
+    assert out["mean_q_score"] > 0 and out["mean_nb_score"] is None
+    scores = lake.table("doc_scores").read(spark)
+    assert scores.count() == n_docs
+    assert scores.filter(F.col("q_score").isNull()).count() == 0
+    # --out variant writes parquet without touching the lake
+    out_dir = str(tmp_path / "scores")
+    assert main(["classify", "--lake", tmp_lake, "--out", out_dir]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["documents"] == n_docs and out2["out"] == out_dir
+    assert spark.read.parquet(out_dir).count() == n_docs
+    assert lake.table("doc_scores").read(spark).count() == n_docs
