@@ -184,6 +184,43 @@ def select_recrawl(priorities: DataFrame, budget: int,
     ).limit(budget)
 
 
+def schedule_to_seeds(urls: list[str], source_name: str = "recrawl",
+                      domain: str = "", sitemap_url: str | None = None):
+    """Close the crawl lifecycle loop: turn a selected recrawl
+    schedule (its URL samples, in schedule order) into the harvest
+    CLI's seed shape — one synthetic sitemap source whose XML lists
+    exactly the scheduled URLs — so crawl → index → schedule →
+    re-crawl runs through the existing, parity-pinned pipeline with
+    no new frontier machinery. Returns ``(Source, sitemap_bodies)``
+    ready for ``run_harvest``/``seeds.json``.
+
+    Driver-side by design: the seeds object is the pipeline's
+    seed-list input (bodies broadcast to the fused frontier parse),
+    and the budget bounds this conversion by construction — a
+    10^6-URL schedule renders to a few tens of MB of XML, the same
+    order as a real site's sitemap set. Politeness still applies
+    per HOST inside the pipeline, so one synthetic source spanning
+    many hosts keeps correct lane behavior."""
+    from ..sources.config import Source
+
+    sm_url = sitemap_url or f"https://{source_name}.invalid/sitemap.xml"
+    entries = "\n".join(f"  <url><loc>{u}</loc></url>" for u in urls)
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        f"{entries}\n</urlset>\n"
+    )
+    src = Source(
+        name=source_name,
+        url=sm_url,
+        source_type="sitemap",
+        domain=domain or source_name,
+        pid=f"https://pid.invalid/{source_name}",
+        proper_name=source_name,
+    )
+    return src, {sm_url: xml}
+
+
 def schedule_eta(schedule: DataFrame, default_delay_s: float = 1.0,
                  delays: DataFrame | None = None,
                  threads: int = 1) -> DataFrame:
