@@ -58,7 +58,13 @@ def change_stats(capture_index: DataFrame) -> DataFrame:
     fetchable address of the key (deterministic under parallelism —
     the build_url_index sample rule), so a schedule row is directly
     actionable without a join back to the index. NULL surt_keys
-    (junk URLs) are dropped — they identify no fetchable page."""
+    (junk URLs) are dropped — they identify no fetchable page.
+    Captures with an unparseable (NULL) ts — e.g. malformed CDXJ
+    lines — still count toward n_captures and order deterministically
+    first within their key; first_ts/last_ts aggregate over the
+    parseable captures only, and a key with NO parseable ts gets
+    NULL first/last (downstream: NULL priority, sorted out of the
+    budget cut — pinned)."""
     w = Window.partitionBy("surt_key").orderBy(
         F.col("_ts").asc(), F.col("digest").asc()
     )
@@ -124,7 +130,9 @@ def weight_by_host_rank(priorities: DataFrame, ranks: DataFrame,
     prior CC-style pipelines derive from the host webgraph). Hosts
     absent from the rank frame take the minimum observed rank — the
     pessimistic-but-nonzero floor, so an unranked host is demoted,
-    never silently dropped or zeroed out of the schedule.
+    never silently dropped or zeroed out of the schedule. An EMPTY
+    rank frame degrades to weight 1.0 everywhere (unweighted), not
+    to an all-NULL column that would scramble the budget cut.
 
     One broadcast-size agg row (min rank) + one hash join against the
     rank frame (tiny next to the priority frame — hosts, not URLs —
@@ -138,7 +146,8 @@ def weight_by_host_rank(priorities: DataFrame, ranks: DataFrame,
         .select(
             "host_key", *keep,
             F.round(
-                F.col("priority") * F.coalesce("rank", "_floor"), decimals
+                F.col("priority")
+                * F.coalesce("rank", "_floor", F.lit(1.0)), decimals
             ).alias("weighted_priority"),
         )
     )
@@ -239,6 +248,8 @@ def schedule_eta(schedule: DataFrame, default_delay_s: float = 1.0,
     delay_s) — e.g. parsed robots crawl-delay budgets; absent hosts
     take ``default_delay_s``. One partial-agg exchange on host_key
     plus a broadcast-size join against the delay frame."""
+    if threads < 1:
+        raise ValueError(f"threads must be >= 1, got {threads}")
     per_host = schedule.groupBy("host_key").agg(
         F.count(F.lit(1)).alias("n_urls")
     )

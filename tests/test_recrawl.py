@@ -282,3 +282,38 @@ class TestScheduleEta:
         }
         assert got["org,a"]["eta_s"] == 8.0
         assert got["org,b"]["eta_s"] == 2.0
+
+
+class TestMalformedHistory:
+    def test_null_ts_captures_and_all_null_keys(self, spark):
+        """Malformed-CDXJ shapes: a NULL-ts capture still counts and
+        orders deterministically first; a key with NO parseable ts
+        yields NULL priority and sorts out of the budget cut instead
+        of poisoning it."""
+        df = spark.createDataFrame(
+            [("org,a)/x", None, "d0"), ("org,a)/x", 100, "d1"),
+             ("org,a)/x", 200, "d2"),
+             ("org,bad)/y", None, "d1"), ("org,bad)/y", None, "d2"),
+             ("org,c)/z", 100, "d1"), ("org,c)/z", 200, "d2")],
+            "surt_key string, ts long, digest string",
+        )
+        stats = {r["surt_key"]: r for r in change_stats(df).collect()}
+        a = stats["org,a)/x"]
+        assert a["n_captures"] == 3
+        assert (a["first_ts"], a["last_ts"]) == (100, 200)
+        assert a["n_changes"] == 2  # d0(null ts, first) -> d1 -> d2
+        assert stats["org,bad)/y"]["first_ts"] is None
+        pri = recrawl_priority(df, 10_000)
+        got = {r["surt_key"]: r["priority"] for r in pri.collect()}
+        assert got["org,bad)/y"] is None
+        # the budget cut never selects the NULL-priority key while
+        # real keys remain
+        top = [r["surt_key"] for r in select_recrawl(pri, 2).collect()]
+        assert "org,bad)/y" not in top and len(top) == 2
+
+    def test_empty_rank_frame_degrades_to_unweighted(self, spark):
+        ranks = spark.createDataFrame([], "host_key string, rank double")
+        df = _caps(spark, [("org,a)/x", 100, "d1"), ("org,a)/x", 200, "d2")])
+        row = weight_by_host_rank(recrawl_priority(df, 10_000), ranks) \
+            .collect()[0]
+        assert row["weighted_priority"] == row["priority"]
