@@ -433,10 +433,14 @@ def _recrawl_main(argv: list[str]) -> int:
     ``--out`` the schedule lands as parquet; otherwise the top rows
     print as JSON lines. Prints a JSON summary either way."""
     ap = argparse.ArgumentParser(prog="gleaner_spark recrawl")
-    ap.add_argument("--index", required=True,
+    ap.add_argument("--index", default=None,
                     help="per-capture index: parquet dir or CDXJ dir")
     ap.add_argument("--index-format", default="parquet",
                     choices=("parquet", "cdxj"))
+    ap.add_argument("--lake", default=None,
+                    help="read the per-capture index from this lake's "
+                         "url_index table instead (the streaming "
+                         "harvest's maintain_index sink)")
     ap.add_argument("--now", type=int, required=True,
                     help="scheduling instant (epoch seconds; explicit "
                          "so runs are reproducible)")
@@ -477,9 +481,16 @@ def _recrawl_main(argv: list[str]) -> int:
     )
     from .operators.urlindex import read_cdxj
 
+    if (args.index is None) == (args.lake is None):
+        ap.error("exactly one of --index / --lake is required")
     spark = build_session("gleaner-recrawl", master=args.master)
     _ship_package(spark)
-    if args.index_format == "cdxj":
+    if args.lake:
+        idx = Lake(args.lake).table("url_index").read(spark)
+        if idx is None:
+            print(json.dumps({"error": "lake has no url_index table"}))
+            return 1
+    elif args.index_format == "cdxj":
         idx = read_cdxj(spark, args.index)
     else:
         idx = spark.read.parquet(args.index)

@@ -82,10 +82,23 @@ def incremental_harvest(
     global_strict: bool = False,
     rude: bool = False,
     max_files_per_trigger: int = 8,
+    maintain_index: bool = False,
 ):
     """Start an available-now streaming harvest over a directory of
     page parquet drops. Returns the StreamingQuery (await it with
-    .awaitTermination())."""
+    .awaitTermination()).
+
+    ``maintain_index=True`` additionally appends each micro-batch's
+    per-capture SURT index rows (operators/urlindex.
+    build_capture_index — url, ts, sha1 digest) to a ``url_index``
+    lake table, so the crawl → index → recrawl-schedule loop runs
+    continuously off the stream with no separate index pass. Indexing
+    covers the WHOLE drop — including pages outside every source's
+    domain and robots-disallowed ones — because the capture index
+    records what was captured; admission decisions (the recrawl
+    budget, robots) filter at scheduling time. Opt-in so the default
+    streaming lake stays table-equal to a batch harvest (the
+    differential suite's pin)."""
     from ..operators import harvest as hv
     from ..operators.frontier import _robots_filter_udf
     from ..sources.corpus import PAGES_SCHEMA
@@ -114,6 +127,16 @@ def incremental_harvest(
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
+        if maintain_index:
+            from ..operators.urlindex import build_capture_index
+
+            # zero-exchange projection of the raw drop; coalesce caps
+            # the small-file growth of a long-lived stream at 2
+            # files/batch (narrow dependency, no shuffle)
+            lake.table("url_index").append(
+                build_capture_index(batch_df).coalesce(2),
+                run_id=f"stream-{batch_id}",
+            )
         pages = batch_df.withColumn("host", _host_udf(F.col("url")))
         src_df = sp.createDataFrame(src_rows, "host string, source_name string")
         pages = pages.join(F.broadcast(src_df), "host", "inner")

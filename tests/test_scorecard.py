@@ -93,3 +93,58 @@ def test_cli_classify_over_harvested_lake(spark, tmp_lake, tmp_path, capsys):
     assert out2["documents"] == n_docs and out2["out"] == out_dir
     assert spark.read.parquet(out_dir).count() == n_docs
     assert lake.table("doc_scores").read(spark).count() == n_docs
+
+
+def test_streaming_index_maintenance_feeds_recrawl(spark, tmp_lake, tmp_path, capsys):
+    """maintain_index=True: each micro-batch appends its per-capture
+    SURT index rows to the lake's url_index table (whole drop, junk
+    URLs as the NULL-key group), and `recrawl --lake` schedules
+    straight off it — the continuous crawl -> index -> schedule loop."""
+    import tempfile
+
+    from gleaner_spark.__main__ import main
+    from gleaner_spark.plans.lake import Lake
+    from gleaner_spark.sources import corpus
+    from gleaner_spark.streaming.incremental import incremental_harvest
+
+    stream_dir = tempfile.mkdtemp(prefix="gleaner-idxstream-")
+    ckpt = tempfile.mkdtemp(prefix="gleaner-idxstream-ckpt-")
+    corpus.build_pages(spark, 30, partitions=2).write.mode("append") \
+        .parquet(stream_dir)
+    lake = Lake(tmp_lake)
+    q = incremental_harvest(
+        spark, lake, corpus.build_sources(), stream_dir, ckpt,
+        maintain_index=True,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    idx = lake.table("url_index").read(spark)
+    assert idx is not None and idx.count() == 30
+    assert set(idx.columns) == {"surt_key", "ts", "url", "digest"}
+    assert idx.filter(idx["digest"].isNull()).count() == 0
+    # second drop appends (the stream's history accumulates captures)
+    corpus.build_pages(spark, 30, partitions=2).write.mode("append") \
+        .parquet(stream_dir)
+    q2 = incremental_harvest(
+        spark, lake, corpus.build_sources(), stream_dir, ckpt,
+        maintain_index=True,
+    )
+    q2.awaitTermination(120)
+    assert lake.table("url_index").read(spark).count() == 60
+
+    # the loop: schedule straight off the lake's index
+    import json as _json
+    assert main(["recrawl", "--lake", tmp_lake, "--now", "2000000000",
+                 "--budget", "5"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = _json.loads(lines[-1])
+    assert summary["selected"] == 5
+    assert summary["known_urls"] == 30  # 30 distinct keys, 2 captures each
+    # default harvest stays index-free (the opt-in pin)
+    lake2 = Lake(str(tmp_path / "lake-plain"))
+    q3 = incremental_harvest(
+        spark, lake2, corpus.build_sources(), stream_dir,
+        tempfile.mkdtemp(prefix="gleaner-idxstream-ckpt2-"),
+    )
+    q3.awaitTermination(120)
+    assert lake2.table("url_index").read(spark) is None
