@@ -499,9 +499,12 @@ def _recrawl_main(argv: list[str]) -> int:
     pcol = "priority"
     if args.ranks:
         ranks = spark.read.parquet(args.ranks)
-        if "host" in ranks.columns and "host_key" not in ranks.columns:
+        from_graph = "host" in ranks.columns and "host_key" not in ranks.columns
+        if from_graph:
             # graph CLI output keys on the plain host name; the index
-            # keys on the SURT host (reversed labels) — convert
+            # keys on the SURT host (reversed labels) — convert, and
+            # strip_ports so ported SURT keys still match their host's
+            # rank (graph hosts never carry ports)
             from pyspark.sql import functions as F
             ranks = ranks.select(
                 F.concat_ws(
@@ -509,33 +512,41 @@ def _recrawl_main(argv: list[str]) -> int:
                 ).alias("host_key"),
                 "rank",
             )
-        pri = weight_by_host_rank(pri, ranks)
+        pri = weight_by_host_rank(pri, ranks, strip_ports=from_graph)
         pcol = "weighted_priority"
-    sel = select_recrawl(pri, args.budget, priority_col=pcol,
-                         per_host_cap=args.per_host_cap)
-    summary: dict = {"now": args.now, "budget": args.budget,
-                     "priority_col": pcol}
-    if args.out:
-        sel.write.mode("overwrite").parquet(args.out)
-        summary["out"] = args.out
-        sel = spark.read.parquet(args.out)
+    # the priority frame feeds three jobs (selection, ETA,
+    # known_urls); persist so the index scan + history window run once
+    pri = pri.persist()
+    try:
+        sel = select_recrawl(pri, args.budget, priority_col=pcol,
+                             per_host_cap=args.per_host_cap)
+        summary: dict = {"now": args.now, "budget": args.budget,
+                         "priority_col": pcol}
+        if args.out:
+            sel.write.mode("overwrite").parquet(args.out)
+            summary["out"] = args.out
+            sel = spark.read.parquet(args.out)
+        else:
+            sel = sel.persist()
+            for r in sel.limit(args.print_limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+        # the TRUE selection size, not the printed-row count
         summary["selected"] = sel.count()
-    else:
-        rows = [r.asDict() for r in sel.limit(args.print_limit).collect()]
-        for r in rows:
-            print(json.dumps(r, default=str))
-        summary["selected"] = len(rows)
-    # politeness reality check: the schedule's wall-clock is its
-    # worst host's serial lane, not its row count
-    from pyspark.sql import functions as _F
-    delays_df = spark.read.parquet(args.delays) if args.delays else None
-    eta = schedule_eta(sel, default_delay_s=args.delay,
-                       delays=delays_df, threads=args.threads)
-    worst = eta.orderBy(_F.col("eta_s").desc(), "host_key").limit(1).collect()
-    if worst:
-        summary["eta_s"] = float(worst[0]["eta_s"])
-        summary["bottleneck_host"] = worst[0]["host_key"]
-    summary["known_urls"] = pri.count()
+        # politeness reality check: the schedule's wall-clock is its
+        # worst host's serial lane, not its row count
+        from pyspark.sql import functions as _F
+        delays_df = spark.read.parquet(args.delays) if args.delays else None
+        eta = schedule_eta(sel, default_delay_s=args.delay,
+                           delays=delays_df, threads=args.threads)
+        worst = eta.orderBy(
+            _F.col("eta_s").desc(), "host_key"
+        ).limit(1).collect()
+        if worst:
+            summary["eta_s"] = float(worst[0]["eta_s"])
+            summary["bottleneck_host"] = worst[0]["host_key"]
+        summary["known_urls"] = pri.count()
+    finally:
+        pri.unpersist()
     print(json.dumps(summary))
     return 0
 

@@ -122,7 +122,8 @@ def recrawl_priority(capture_index: DataFrame, now_ts: int,
 
 
 def weight_by_host_rank(priorities: DataFrame, ranks: DataFrame,
-                        decimals: int = 9) -> DataFrame:
+                        decimals: int = 9,
+                        strip_ports: bool = False) -> DataFrame:
     """Fold a host-importance signal (webgraph.host_rank output keyed
     the same way: (host_key, rank)) into recrawl priorities:
     weighted_priority = round(priority * rank, decimals), so the
@@ -134,14 +135,27 @@ def weight_by_host_rank(priorities: DataFrame, ranks: DataFrame,
     rank frame degrades to weight 1.0 everywhere (unweighted), not
     to an all-NULL column that would scramble the budget cut.
 
+    ``strip_ports=True`` joins on the port-stripped host key: SURT
+    index keys KEEP non-default ports (``net,example,cdn:8080`` is a
+    different server) but webgraph-derived rank frames key on plain
+    hostnames with no port, so a ported host would otherwise never
+    match its own rank and silently take the floor.
+
     One broadcast-size agg row (min rank) + one hash join against the
     rank frame (tiny next to the priority frame — hosts, not URLs —
     so AQE broadcasts it at real scale)."""
     floor = ranks.agg(F.min("rank").alias("_floor"))
     keep = [c for c in priorities.columns if c != "host_key"]
+    jk = (
+        F.regexp_replace(F.col("host_key"), r":[0-9]+$", "")
+        if strip_ports else F.col("host_key")
+    )
     return (
-        priorities
-        .join(ranks.select("host_key", "rank"), "host_key", "left")
+        priorities.withColumn("_rk", jk)
+        .join(
+            ranks.select(F.col("host_key").alias("_rk"), "rank"),
+            "_rk", "left",
+        )
         .crossJoin(F.broadcast(floor))
         .select(
             "host_key", *keep,
@@ -210,10 +224,16 @@ def schedule_to_seeds(urls: list[str], source_name: str = "recrawl",
     order as a real site's sitemap set. Politeness still applies
     per HOST inside the pipeline, so one synthetic source spanning
     many hosts keeps correct lane behavior."""
+    from xml.sax.saxutils import escape
+
     from ..sources.config import Source
 
     sm_url = sitemap_url or f"https://{source_name}.invalid/sitemap.xml"
-    entries = "\n".join(f"  <url><loc>{u}</loc></url>" for u in urls)
+    # escape() is load-bearing: query-string URLs ('?b=2&a=1' — the
+    # index's own canonical shape) contain '&', which unescaped makes
+    # the XML unparseable and the frontier builder drop the WHOLE
+    # sitemap (log-and-continue), i.e. a silently empty re-crawl
+    entries = "\n".join(f"  <url><loc>{escape(u)}</loc></url>" for u in urls)
     xml = (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'

@@ -462,6 +462,26 @@ def nb_quality(docs: DataFrame, label_col: str = "label",
     )
 
 
+def nb_seed_scores(docs: DataFrame, seed_docs: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   seed_text_col: str = "text",
+                   decimals: int = 4) -> DataFrame:
+    """The seed-classifier loop as one call: train two-class NB with
+    ``seed_docs`` as class 1 against ``docs`` as class 0, then score
+    every ``docs`` row (nb_train + nb_score_with). This is THE
+    labeling convention shared by the corpus build's --nb-seed gate
+    and the classify scorecard — one definition so the gate and the
+    calibration table it is tuned from can never diverge."""
+    labeled = seed_docs.select(
+        F.lit(1).alias("label"), F.col(seed_text_col).alias("_txt")
+    ).unionByName(
+        docs.select(F.lit(0).alias("label"), F.col(text_col).alias("_txt"))
+    )
+    model = nb_train(labeled, text_col="_txt")
+    return nb_score_with(docs, model, id_col=id_col, text_col=text_col,
+                         decimals=decimals)
+
+
 def nb_score_with(docs: DataFrame, model: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   decimals: int = 4) -> DataFrame:

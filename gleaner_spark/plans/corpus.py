@@ -129,15 +129,12 @@ def build_corpus(
         # 0, score every keeper, keep the seed-like head. Trained
         # after the cheap gates so the background class is what would
         # otherwise ship.
-        from ..operators.textops import nb_score_with, nb_train
+        from ..operators.textops import nb_seed_scores
 
         if min_nb is None:
             raise ValueError("nb_seed_docs requires min_nb")
-        labeled = nb_seed_docs.select(
-            F.lit(1).alias("label"), F.col("text")
-        ).unionByName(base.select(F.lit(0).alias("label"), F.col("text")))
-        model = nb_train(labeled)
-        scores = nb_score_with(base, model, id_col="doc_id", text_col="text")
+        scores = nb_seed_scores(base, nb_seed_docs,
+                                id_col="doc_id", text_col="text")
         base = base.join(
             scores.filter(F.col("nb_score") >= min_nb).select("doc_id"),
             "doc_id", "semi",

@@ -17,8 +17,9 @@ over a small table instead of a rerun of the heavy text operators:
   ``uniq_3grams`` Gopher repetition signals (repetition_stats);
 - ``avg_nll`` corpus-trained unigram LM score (unigram_nll);
 - ``nb_score`` (optional) seed-classifier log-likelihood ratio when
-  a curated seed parquet is supplied (nb_train/nb_score_with — the
-  corpus build's --nb-seed gate, scored without gating).
+  a curated seed parquet is supplied (textops.nb_seed_scores — the
+  SAME helper the corpus build's --nb-seed gate calls, so the gate
+  and this calibration table can never diverge).
 
 Scale shape: the q/lang/bpe/repetition signals are pure map-side
 column expressions over one scan; avg_nll and nb_score each add the
@@ -40,8 +41,7 @@ from pyspark.sql import functions as F
 from ..operators.textops import (
     bpe_token_stats,
     language_id,
-    nb_score_with,
-    nb_train,
+    nb_seed_scores,
     quality_scores,
     repetition_stats,
     unigram_nll,
@@ -75,11 +75,7 @@ def build_scorecard(docs: DataFrame,
     nll = unigram_nll(base).select("doc_id", "avg_nll")
     out = flat.join(bpe, "doc_id").join(rep, "doc_id").join(nll, "doc_id")
     if nb_seed_docs is not None:
-        labeled = nb_seed_docs.select(
-            F.lit(1).alias("label"), F.col("text")
-        ).unionByName(base.select(F.lit(0).alias("label"), F.col("text")))
-        model = nb_train(labeled)
-        nb = nb_score_with(base, model).select("doc_id", "nb_score")
+        nb = nb_seed_scores(base, nb_seed_docs).select("doc_id", "nb_score")
         out = out.join(nb, "doc_id")
     else:
         out = out.withColumn("nb_score", F.lit(None).cast("double"))
@@ -118,13 +114,16 @@ def run_scorecard(
         F.round(F.avg("avg_nll"), 4).alias("mean_nll"),
         F.round(F.avg("nb_score"), 4).alias("mean_nb"),
     ).collect()[0]
+    def _f(v):
+        # zero-row frames aggregate to NULL means; report None rather
+        # than crashing the summary
+        return float(v) if v is not None else None
+
     return {
         "run_id": run_id,
         "documents": int(agg["n"]),
-        "mean_q_score": float(agg["mean_q"]),
-        "mean_avg_nll": float(agg["mean_nll"]),
-        "mean_nb_score": (
-            float(agg["mean_nb"]) if agg["mean_nb"] is not None else None
-        ),
+        "mean_q_score": _f(agg["mean_q"]),
+        "mean_avg_nll": _f(agg["mean_nll"]),
+        "mean_nb_score": _f(agg["mean_nb"]),
         **sink,
     }

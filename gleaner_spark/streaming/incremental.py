@@ -130,13 +130,36 @@ def incremental_harvest(
         if maintain_index:
             from ..operators.urlindex import build_capture_index
 
-            # zero-exchange projection of the raw drop; coalesce caps
-            # the small-file growth of a long-lived stream at 2
-            # files/batch (narrow dependency, no shuffle)
-            lake.table("url_index").append(
-                build_capture_index(batch_df).coalesce(2),
-                run_id=f"stream-{batch_id}",
+            # at-least-once guard: foreachBatch can replay a batch_id
+            # after a partial failure, and unlike the documents path
+            # (seen anti-join + dataless-snapshot refusal) a second
+            # capture-index append would double those keys' n_captures
+            # in every recrawl estimate. The manifest records run_id,
+            # so a replayed batch whose index snapshot already
+            # published is a no-op. The id is CHECKPOINT-scoped, not
+            # bare batch_id: within one checkpoint lineage a replayed
+            # batch_id carries identical content (Spark's contract),
+            # but a FRESH checkpoint over the same lake restarts batch
+            # numbering with different content — a bare-id guard would
+            # silently drop those captures.
+            import hashlib
+
+            ckpt_h = hashlib.sha1(
+                checkpoint_dir.encode("utf-8")
+            ).hexdigest()[:8]
+            idx_table = lake.table("url_index")
+            idx_run = f"stream-{ckpt_h}-{batch_id}"
+            already = any(
+                s.get("run_id") == idx_run for s in idx_table.snapshots()
             )
+            if not already:
+                # zero-exchange projection of the raw drop; coalesce
+                # caps the small-file growth of a long-lived stream at
+                # 2 files/batch (narrow dependency, no shuffle)
+                idx_table.append(
+                    build_capture_index(batch_df).coalesce(2),
+                    run_id=idx_run,
+                )
         pages = batch_df.withColumn("host", _host_udf(F.col("url")))
         src_df = sp.createDataFrame(src_rows, "host string, source_name string")
         pages = pages.join(F.broadcast(src_df), "host", "inner")

@@ -317,3 +317,53 @@ class TestMalformedHistory:
         row = weight_by_host_rank(recrawl_priority(df, 10_000), ranks) \
             .collect()[0]
         assert row["weighted_priority"] == row["priority"]
+
+
+class TestReviewFixes:
+    def test_schedule_to_seeds_escapes_query_urls(self, spark):
+        """URLs with '&' (the index's own canonical query shape) must
+        survive the XML round trip — unescaped they make the whole
+        sitemap unparseable and the re-crawl silently empty."""
+        from gleaner_spark.core.sitemap import parse_sitemap
+        from gleaner_spark.operators.recrawl import schedule_to_seeds
+
+        urls = ["https://a.org/x?b=2&a=1", "https://a.org/<odd>",
+                "https://a.org/plain"]
+        src, bodies = schedule_to_seeds(urls)
+        ((sm_url, xml),) = bodies.items()
+        assert src.url == sm_url
+        parsed = parse_sitemap(xml)
+        assert [u.loc for u in parsed] == urls
+
+    def test_rank_weighting_strip_ports_matches_ported_hosts(self, spark):
+        """SURT keys keep non-default ports; webgraph ranks never
+        carry them. strip_ports=True joins the ported host to its
+        rank instead of silently flooring it."""
+        df = _caps(spark, [
+            ("net,example,cdn:8080)/x", 100, "d1"),
+            ("net,example,cdn:8080)/x", 200, "d2"),
+            ("org,small)/y", 100, "d1"), ("org,small)/y", 200, "d2"),
+        ])
+        ranks = spark.createDataFrame(
+            [("net,example,cdn", 0.9), ("org,small", 0.1)],
+            "host_key string, rank double",
+        )
+        pri = recrawl_priority(df, 10_000)
+        plain = {
+            r["surt_key"]: r
+            for r in weight_by_host_rank(pri, ranks).collect()
+        }
+        # without stripping, the ported host misses and takes the floor
+        base = plain["net,example,cdn:8080)/x"]["priority"]
+        assert plain["net,example,cdn:8080)/x"]["weighted_priority"] \
+            == round(base * 0.1, 9)
+        stripped = {
+            r["surt_key"]: r
+            for r in weight_by_host_rank(pri, ranks, strip_ports=True)
+            .collect()
+        }
+        assert stripped["net,example,cdn:8080)/x"]["weighted_priority"] \
+            == round(base * 0.9, 9)
+        # host_key in the output stays the true (ported) key
+        assert stripped["net,example,cdn:8080)/x"]["host_key"] \
+            == "net,example,cdn:8080"

@@ -148,3 +148,73 @@ def test_streaming_index_maintenance_feeds_recrawl(spark, tmp_lake, tmp_path, ca
     )
     q3.awaitTermination(120)
     assert lake2.table("url_index").read(spark) is None
+
+
+def test_streaming_index_replay_guard(spark, tmp_lake, tmp_path):
+    """At-least-once replays must not double capture counts: a batch
+    whose checkpoint-scoped index snapshot already published is
+    skipped, while a FRESH checkpoint (new lineage, restarted batch
+    ids) still appends."""
+    import hashlib
+    import tempfile
+
+    from gleaner_spark.plans.lake import Lake
+    from gleaner_spark.sources import corpus
+    from gleaner_spark.streaming.incremental import incremental_harvest
+
+    stream_dir = tempfile.mkdtemp(prefix="gleaner-replay-")
+    ckpt = tempfile.mkdtemp(prefix="gleaner-replay-ckpt-")
+    corpus.build_pages(spark, 20, partitions=1).write.mode("append") \
+        .parquet(stream_dir)
+    lake = Lake(tmp_lake)
+    q = incremental_harvest(spark, lake, corpus.build_sources(),
+                            stream_dir, ckpt, maintain_index=True)
+    q.awaitTermination(120)
+    idx = lake.table("url_index")
+    assert idx.read(spark).count() == 20
+    # inject "the replayed batch's append already committed": the next
+    # batch on THIS checkpoint will be batch 1 — pre-publish its run_id
+    h = hashlib.sha1(ckpt.encode()).hexdigest()[:8]
+    from datetime import datetime
+    idx.append_local(
+        [{"surt_key": "org,marker)/x", "ts": datetime(2024, 1, 1),
+          "url": "m", "digest": "d"}],
+        run_id=f"stream-{h}-1",
+    )
+    corpus.build_pages(spark, 20, partitions=1).write.mode("append") \
+        .parquet(stream_dir)
+    q2 = incremental_harvest(spark, lake, corpus.build_sources(),
+                             stream_dir, ckpt, maintain_index=True)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    # guard fired: only the marker row joined the table
+    assert idx.read(spark).count() == 21
+    # a fresh checkpoint is a new lineage: batch ids restart but the
+    # scoped run_id differs, so its (different) content still lands
+    ckpt2 = tempfile.mkdtemp(prefix="gleaner-replay-ckpt2-")
+    lake2 = Lake(str(tmp_path / "lake-fresh"))
+    q3 = incremental_harvest(spark, lake2, corpus.build_sources(),
+                             stream_dir, ckpt2, maintain_index=True)
+    q3.awaitTermination(120)
+    assert lake2.table("url_index").read(spark).count() == 40
+
+
+def test_cli_recrawl_selected_reports_true_cut_size(spark, tmp_path, capsys):
+    """The summary's `selected` is the real budget-cut size, not the
+    number of rows printed under --print-limit."""
+    import json as _json
+
+    from gleaner_spark.__main__ import main
+
+    idx_dir = str(tmp_path / "cidx")
+    spark.createDataFrame(
+        [(f"org,h{i % 3})/p/{i}", 100 + i, f"d{i % 2}") for i in range(12)],
+        "surt_key string, ts long, digest string",
+    ).write.mode("overwrite").parquet(idx_dir)
+    assert main(["recrawl", "--index", idx_dir, "--now", "10000",
+                 "--budget", "5", "--print-limit", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3  # 2 printed rows + summary
+    summary = _json.loads(lines[-1])
+    assert summary["selected"] == 5
+    assert summary["known_urls"] == 12
