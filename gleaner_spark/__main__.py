@@ -460,6 +460,11 @@ def _recrawl_main(argv: list[str]) -> int:
                     help="optional parquet of per-host crawl-delays "
                          "(host_key, delay_s) — e.g. parsed robots "
                          "budgets; absent hosts take --delay")
+    ap.add_argument("--robots", dest="robots_path", default=None,
+                    help="optional seeds.json whose 'robots' bodies "
+                         "supply per-host Crawl-delay budgets for "
+                         "the ETA (parsed with the harvest's robots "
+                         "semantics; overrides --delays)")
     ap.add_argument("--threads", type=int, default=1,
                     help="politeness threads per host for the ETA "
                          "estimate (default 1)")
@@ -535,7 +540,21 @@ def _recrawl_main(argv: list[str]) -> int:
         # politeness reality check: the schedule's wall-clock is its
         # worst host's serial lane, not its row count
         from pyspark.sql import functions as _F
-        delays_df = spark.read.parquet(args.delays) if args.delays else None
+        if args.robots_path:
+            from .operators.recrawl import delays_from_robots
+
+            with open(args.robots_path) as f:
+                robots_bodies = json.load(f).get("robots", {})
+            rows = delays_from_robots(robots_bodies)
+            delays_df = (
+                spark.createDataFrame(
+                    rows, "host_key string, delay_s double"
+                ) if rows else None
+            )
+        elif args.delays:
+            delays_df = spark.read.parquet(args.delays)
+        else:
+            delays_df = None
         eta = schedule_eta(sel, default_delay_s=args.delay,
                            delays=delays_df, threads=args.threads)
         worst = eta.orderBy(

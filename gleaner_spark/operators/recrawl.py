@@ -207,6 +207,35 @@ def select_recrawl(priorities: DataFrame, budget: int,
     ).limit(budget)
 
 
+def delays_from_robots(robots_bodies: dict[str, str],
+                       agent: str | None = None) -> list[tuple[str, float]]:
+    """Per-host crawl-delay budgets for schedule_eta, extracted from
+    the same robots bodies the harvest seeds carry: (host_key,
+    delay_s) tuples keyed the SURT way (surt_key_py host prefix, so
+    they join recrawl_priority output directly). Hosts whose robots
+    group for ``agent`` (default: the reference's crawler agent)
+    declares no Crawl-delay are omitted — they take the ETA's
+    default. Driver-side by design: robots bodies are the seeds-file
+    object (one small body per host), the same scale argument as
+    schedule_to_seeds."""
+    from ..core.extract import EARTHCUBE_AGENT
+    from ..core.robots import parse_robots_txt
+    from .urlindex import surt_key_py
+
+    agent = agent or EARTHCUBE_AGENT
+    out: list[tuple[str, float]] = []
+    for host, body in robots_bodies.items():
+        if not body:
+            continue
+        key = surt_key_py(host if "://" in host else f"https://{host}")
+        if key is None:
+            continue
+        group = parse_robots_txt(body).find_group(agent)
+        if group is not None and group.crawl_delay > 0:
+            out.append((key.split(")")[0], float(group.crawl_delay)))
+    return out
+
+
 def schedule_to_seeds(urls: list[str], source_name: str = "recrawl",
                       domain: str = "", sitemap_url: str | None = None):
     """Close the crawl lifecycle loop: turn a selected recrawl

@@ -452,6 +452,19 @@ def test_cli_recrawl_schedule(spark, tmp_path, capsys):
     capsys.readouterr()
     hosts = [r["host_key"] for r in spark.read.parquet(out_dir).collect()]
     assert len(hosts) == 2 and len(set(hosts)) == 2
+    # --robots: the seeds file's Crawl-delay budgets drive the ETA
+    seeds_path = str(tmp_path / "seeds.json")
+    with open(seeds_path, "w") as f:
+        json.dump({"robots": {
+            "https://hot.org": "User-agent: *\nCrawl-delay: 7\n",
+        }}, f)
+    rc = main(["recrawl", "--index", idx_dir, "--now", "10000",
+               "--budget", "2", "--robots", seeds_path])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # org,hot's single selected URL at 7s/fetch beats the 1s default
+    assert summary["eta_s"] == 7.0
+    assert summary["bottleneck_host"] == "org,hot"
 
 
 def test_cli_recrawl_rank_weighted_from_graph_output(spark, tmp_path, capsys):

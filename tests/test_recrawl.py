@@ -367,3 +367,46 @@ class TestReviewFixes:
         # host_key in the output stays the true (ported) key
         assert stripped["net,example,cdn:8080)/x"]["host_key"] \
             == "net,example,cdn:8080"
+
+
+class TestDelaysFromRobots:
+    def test_crawl_delays_keyed_surt_and_agent_resolved(self, spark):
+        """Robots bodies → (SURT host_key, delay_s): the agent's group
+        wins over '*', zero/absent delays are omitted, host keys join
+        recrawl output directly (www./default-port collapse)."""
+        from gleaner_spark.operators.recrawl import (
+            delays_from_robots,
+            schedule_eta,
+        )
+
+        bodies = {
+            "https://www.slow.example.org": (
+                "User-agent: *\nCrawl-delay: 10\n"
+            ),
+            "https://fast.example.org": (
+                "User-agent: *\nCrawl-delay: 9\n"
+                "User-agent: EarthCube_DataBot\nCrawl-delay: 2\n"
+            ),
+            "https://nodelay.example.org": "User-agent: *\nDisallow: /x\n",
+            "plain.example.org:443": "User-agent: *\nCrawl-delay: 3\n",
+        }
+        got = dict(delays_from_robots(bodies))
+        # www. and default :443 collapse like the index keys
+        assert got == {
+            "org,example,slow": 10.0,
+            "org,example,fast": 2.0,   # agent group beats '*'
+            "org,example,plain": 3.0,
+        }
+        # and they join schedule_eta's host_key directly
+        sched = spark.createDataFrame(
+            [("org,example,slow", "org,example,slow)/a"),
+             ("org,example,other", "org,example,other)/b")],
+            "host_key string, surt_key string",
+        )
+        delays = spark.createDataFrame(
+            list(got.items()), "host_key string, delay_s double"
+        )
+        eta = {r["host_key"]: r["eta_s"]
+               for r in schedule_eta(sched, 1.0, delays=delays).collect()}
+        assert eta["org,example,slow"] == 10.0
+        assert eta["org,example,other"] == 1.0
