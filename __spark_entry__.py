@@ -820,6 +820,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return RP(caps, now_ts=999_999)
     q["recrawl_priority"] = recrawl_priority
 
+    # ---- crawl scheduling: sitemap-lastmod boost over the same
+    # synthetic history (every 4th URL group claims a future lastmod
+    # -> known stale; every 4th+1 claims an ancient one -> no-op;
+    # the rest carry no claim). boost = 2^15: exactly representable,
+    # so round(priority + boost, 6) is the same double both engines
+    # format identically (the repo's float rule) ----
+    def recrawl_lastmod(spark, sf):
+        from gleaner_spark.operators.recrawl import boost_by_lastmod
+        from gleaner_spark.operators.recrawl import recrawl_priority as RP
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        did = F.col("doc_id")
+        g = did % 50
+        caps = d.select(
+            F.concat(
+                F.lit("org,h"), (g % 7).cast("string"),
+                F.lit(")/p/"), g.cast("string"),
+            ).alias("surt_key"),
+            (F.lit(1000) + did).alias("ts"),
+            F.concat(
+                F.lit("d"),
+                F.when(did % 3 == 0, F.lit(0)).otherwise(F.lit(1))
+                .cast("string"),
+            ).alias("digest"),
+        )
+        gg = F.col("_g")
+        claims = (
+            d.select((did % 50).alias("_g")).distinct()
+            .filter(gg % 2 == 0)
+            .select(
+                F.concat(
+                    F.lit("org,h"), (gg % 7).cast("string"),
+                    F.lit(")/p/"), gg.cast("string"),
+                ).alias("surt_key"),
+                F.when(gg % 4 == 0, F.lit(999_000))
+                .otherwise(F.lit(1)).cast("long").alias("lastmod_ts"),
+            )
+        )
+        return boost_by_lastmod(RP(caps, now_ts=999_999), claims,
+                                boost=32768.0)
+    q["recrawl_lastmod"] = recrawl_lastmod
+
     return q
 
 
@@ -1809,6 +1851,53 @@ SELECT surt_key, split_part(surt_key, ')', 1) AS host_key,
        round((n_changes + 1.0) / (last_ts - first_ts + 2592000.0)
              * greatest(999999 - last_ts, 0), 6) AS priority
 FROM s
+"""
+
+    # sitemap-lastmod boost: the recrawl estimator CTE chain + claim
+    # join + known-stale CASE, replayed step for step
+    o["recrawl_lastmod"] = """
+WITH caps AS (
+  SELECT 'org,h' || CAST((doc_id % 50) % 7 AS VARCHAR)
+           || ')/p/' || CAST(doc_id % 50 AS VARCHAR) AS surt_key,
+         1000 + doc_id AS ts,
+         'd' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS VARCHAR)
+           AS digest
+  FROM documents),
+w AS (
+  SELECT surt_key, ts, digest,
+         lag(digest) OVER (PARTITION BY surt_key ORDER BY ts, digest) AS prev
+  FROM caps),
+s AS (
+  SELECT surt_key,
+         CAST(count(*) AS BIGINT) AS n_captures,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND digest IS NOT NULL
+                       AND digest <> prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changes,
+         CAST(min(ts) AS BIGINT) AS first_ts,
+         CAST(max(ts) AS BIGINT) AS last_ts
+  FROM w GROUP BY surt_key),
+p AS (
+  SELECT surt_key, split_part(surt_key, ')', 1) AS host_key,
+         n_captures, n_changes, last_ts,
+         round((n_changes + 1.0) / (last_ts - first_ts + 2592000.0)
+               * greatest(999999 - last_ts, 0), 6) AS priority
+  FROM s),
+claims AS (
+  SELECT 'org,h' || CAST(g % 7 AS VARCHAR) || ')/p/' || CAST(g AS VARCHAR)
+           AS surt_key,
+         CAST(CASE WHEN g % 4 = 0 THEN 999000 ELSE 1 END AS BIGINT)
+           AS lastmod_ts
+  FROM (SELECT DISTINCT doc_id % 50 AS g FROM documents) WHERE g % 2 = 0),
+best AS (
+  SELECT surt_key, CAST(max(lastmod_ts) AS BIGINT) AS lm
+  FROM claims GROUP BY surt_key)
+SELECT p.surt_key, p.host_key, p.n_captures, p.n_changes, p.last_ts,
+       p.priority,
+       coalesce(best.lm > p.last_ts, FALSE) AS lastmod_stale,
+       CASE WHEN coalesce(best.lm > p.last_ts, FALSE)
+            THEN round(p.priority + 32768.0, 6)
+            ELSE p.priority END AS boosted_priority
+FROM p LEFT JOIN best USING (surt_key)
 """
 
     return o

@@ -450,7 +450,8 @@ def main() -> None:
                      "span_dedup", "text_nll", "text_tf_embed", "url_index",
                      "crawl_diff", "host_stats", "host_rank",
                      "anchor_texts", "domain_graph", "text_nb",
-                     "recrawl_priority", "text_bpe_tokens"):
+                     "recrawl_priority", "text_bpe_tokens",
+                     "recrawl_lastmod"):
             if name not in qs:
                 continue
             if gate_on and dram_thresh:

@@ -465,6 +465,11 @@ def _recrawl_main(argv: list[str]) -> int:
                          "supply per-host Crawl-delay budgets for "
                          "the ETA (parsed with the harvest's robots "
                          "semantics; overrides --delays)")
+    ap.add_argument("--sitemaps", dest="sitemaps_path", default=None,
+                    help="optional seeds.json whose 'sitemaps' bodies "
+                         "supply <lastmod> claims: URLs whose claimed "
+                         "modification postdates their last capture "
+                         "jump the queue ahead of every estimate")
     ap.add_argument("--threads", type=int, default=1,
                     help="politeness threads per host for the ETA "
                          "estimate (default 1)")
@@ -519,6 +524,28 @@ def _recrawl_main(argv: list[str]) -> int:
             )
         pri = weight_by_host_rank(pri, ranks, strip_ports=from_graph)
         pcol = "weighted_priority"
+    if args.sitemaps_path:
+        from .operators.recrawl import boost_by_lastmod, claims_from_sitemaps
+
+        with open(args.sitemaps_path) as f:
+            sm_bodies = json.load(f).get("sitemaps", {})
+        claims = claims_from_sitemaps(sm_bodies)
+        if claims:
+            claims_df = spark.createDataFrame(
+                claims, "surt_key string, lastmod_ts long"
+            )
+            pri = boost_by_lastmod(pri, claims_df)
+            # known-stale URLs first, then by the estimator; the
+            # boost column tracks whichever priority col was active
+            if pcol == "weighted_priority":
+                from pyspark.sql import functions as _F
+                pri = pri.withColumn(
+                    "boosted_priority",
+                    _F.when(_F.col("lastmod_stale"),
+                            _F.col("boosted_priority"))
+                    .otherwise(_F.col("weighted_priority")),
+                )
+            pcol = "boosted_priority"
     # the priority frame feeds three jobs (selection, ETA,
     # known_urls); persist so the index scan + history window run once
     pri = pri.persist()

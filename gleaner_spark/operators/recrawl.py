@@ -207,6 +207,79 @@ def select_recrawl(priorities: DataFrame, budget: int,
     ).limit(budget)
 
 
+def boost_by_lastmod(priorities: DataFrame, claims: DataFrame,
+                     boost: float = 1.0e12,
+                     decimals: int = 6) -> DataFrame:
+    """Fold sitemap ``<lastmod>`` claims into recrawl priorities: a
+    URL whose publisher-declared modification time postdates its last
+    capture is KNOWN stale — no estimation needed — so it jumps the
+    queue ahead of every estimated priority. The reference's sitemap
+    parser extracts lastmod (core/sitemap.SitemapURL, sitemap.go) but
+    nothing consumes it; this is where a scheduler actually uses it.
+
+    ``claims`` is (surt_key, lastmod_ts) epoch seconds; duplicate
+    claims per key collapse to their max. Output adds
+    ``lastmod_stale`` (boolean; NULL-claim keys are false — absence
+    of a claim proves nothing) and ``boosted_priority`` =
+    round(priority + boost, decimals) when stale else priority —
+    ``boost`` (default 10^12) dwarfs any estimator value (priority ≤
+    age ≤ now_ts < 10^10 for epoch-second clocks), so feeding
+    ``boosted_priority`` to select_recrawl takes all known-stale URLs
+    first, then fills the remaining budget by estimate. One
+    partial-agg exchange on the claims (tiny: one row per LISTED key)
+    plus a co-partitioned join."""
+    best = claims.groupBy("surt_key").agg(
+        F.max(F.col("lastmod_ts").cast("long")).alias("_lm")
+    )
+    stale = F.coalesce(
+        F.col("_lm") > F.col("last_ts"), F.lit(False)
+    )
+    return (
+        priorities.join(best, "surt_key", "left")
+        .withColumn("lastmod_stale", stale)
+        .withColumn(
+            "boosted_priority",
+            F.when(
+                F.col("lastmod_stale"),
+                F.round(F.col("priority") + F.lit(float(boost)), decimals),
+            ).otherwise(F.col("priority")),
+        )
+        .drop("_lm")
+    )
+
+
+def claims_from_sitemaps(sitemap_bodies: dict[str, str]) -> list[tuple[str, int]]:
+    """Driver-side: harvest sitemap seed bodies → (surt_key,
+    lastmod_epoch) claims for boost_by_lastmod. Entries without a
+    parseable W3C lastmod are skipped (no claim). Same seeds-scale
+    argument as schedule_to_seeds/delays_from_robots."""
+    from datetime import datetime, timezone
+
+    from ..core.sitemap import SitemapParseError, parse_sitemap
+    from .urlindex import surt_key_py
+
+    out: list[tuple[str, int]] = []
+    for body in sitemap_bodies.values():
+        try:
+            entries = parse_sitemap(body)
+        except SitemapParseError:
+            continue  # S34 posture: log-and-continue
+        for e in entries:
+            if not e.lastmod:
+                continue
+            raw = e.lastmod.strip().replace("Z", "+00:00")
+            try:
+                dt = datetime.fromisoformat(raw)
+            except ValueError:
+                continue
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            key = surt_key_py(e.loc)
+            if key is not None:
+                out.append((key, int(dt.timestamp())))
+    return out
+
+
 def delays_from_robots(robots_bodies: dict[str, str],
                        agent: str | None = None) -> list[tuple[str, float]]:
     """Per-host crawl-delay budgets for schedule_eta, extracted from

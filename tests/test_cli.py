@@ -465,6 +465,23 @@ def test_cli_recrawl_schedule(spark, tmp_path, capsys):
     # org,hot's single selected URL at 7s/fetch beats the 1s default
     assert summary["eta_s"] == 7.0
     assert summary["bottleneck_host"] == "org,hot"
+    # --sitemaps: a publisher lastmod claim newer than org,new's only
+    # capture makes it known-stale, jumping it into a budget-1 cut it
+    # would otherwise lose to org,hot's estimate
+    sm_path = str(tmp_path / "sm_seeds.json")
+    with open(sm_path, "w") as f:
+        json.dump({"sitemaps": {"sm": (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            "  <url><loc>https://new.org/z</loc>"
+            "<lastmod>2024-06-01</lastmod></url>\n</urlset>\n"
+        )}}, f)
+    rc = main(["recrawl", "--index", idx_dir, "--now", "10000",
+               "--budget", "1", "--sitemaps", sm_path])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1])["priority_col"] == "boosted_priority"
+    assert json.loads(lines[0])["surt_key"] == "org,new)/z"
 
 
 def test_cli_recrawl_rank_weighted_from_graph_output(spark, tmp_path, capsys):

@@ -410,3 +410,59 @@ class TestDelaysFromRobots:
                for r in schedule_eta(sched, 1.0, delays=delays).collect()}
         assert eta["org,example,slow"] == 10.0
         assert eta["org,example,other"] == 1.0
+
+
+class TestLastmodBoost:
+    def test_known_stale_jumps_the_queue(self, spark):
+        """A sitemap lastmod newer than the last capture marks the URL
+        known-stale: it is selected ahead of every estimated priority;
+        claims at-or-before the capture (or absent) change nothing."""
+        from gleaner_spark.operators.recrawl import boost_by_lastmod
+
+        df = _caps(spark, [
+            # hot: 2 changes, high estimate
+            ("org,a)/hot", 100, "d1"), ("org,a)/hot", 200, "d2"),
+            ("org,a)/hot", 300, "d3"),
+            # quiet: no changes, low estimate — but the publisher
+            # claims it changed after the last capture
+            ("org,a)/quiet", 100, "dz"), ("org,a)/quiet", 300, "dz"),
+            # claimed-but-older: lastmod before the last capture
+            ("org,a)/old", 100, "dq"), ("org,a)/old", 300, "dq"),
+        ])
+        pri = recrawl_priority(df, 10_000)
+        claims = spark.createDataFrame(
+            [("org,a)/quiet", 5000), ("org,a)/old", 200),
+             ("org,a)/quiet", 400)],  # duplicate claim: max wins
+            "surt_key string, lastmod_ts long",
+        )
+        boosted = boost_by_lastmod(pri, claims)
+        got = {r["surt_key"]: r for r in boosted.collect()}
+        assert got["org,a)/quiet"]["lastmod_stale"] is True
+        assert got["org,a)/old"]["lastmod_stale"] is False
+        assert got["org,a)/hot"]["lastmod_stale"] is False
+        assert got["org,a)/quiet"]["boosted_priority"] > 1e11
+        assert got["org,a)/old"]["boosted_priority"] \
+            == got["org,a)/old"]["priority"]
+        top = select_recrawl(boosted, 1, priority_col="boosted_priority") \
+            .collect()
+        assert top[0]["surt_key"] == "org,a)/quiet"
+
+    def test_claims_from_sitemaps_parses_w3c_lastmod(self, spark):
+        from gleaner_spark.operators.recrawl import claims_from_sitemaps
+
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            "  <url><loc>https://a.org/date</loc>"
+            "<lastmod>2024-01-02</lastmod></url>\n"
+            "  <url><loc>https://a.org/datetime</loc>"
+            "<lastmod>2024-01-02T03:04:05Z</lastmod></url>\n"
+            "  <url><loc>https://a.org/none</loc></url>\n"
+            "  <url><loc>https://a.org/junk</loc>"
+            "<lastmod>yesterday-ish</lastmod></url>\n"
+            "</urlset>\n"
+        )
+        got = dict(claims_from_sitemaps({"sm": xml, "broken": "<not-xml"}))
+        assert got["org,a)/date"] == 1704153600       # 2024-01-02 UTC
+        assert got["org,a)/datetime"] == 1704164645
+        assert "org,a)/none" not in got and "org,a)/junk" not in got
