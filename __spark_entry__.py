@@ -356,7 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_langid(spark, sf):
         out = TX.language_id(_t(spark, sf, "documents"))
         return out.select(
-            "doc_id", "en_hits", "de_hits", "predicted_lang",
+            "doc_id", "en_hits", "de_hits", "es_hits", "fr_hits",
+            "cjk_chars", "predicted_lang",
             (F.col("predicted_lang") == F.col("lang")).alias("is_correct"),
         )
     q["text_langid"] = text_langid
@@ -1173,16 +1174,27 @@ ranked AS (
 SELECT query_id, nbr_id, rank FROM ranked WHERE rank <= 3
 """
 
+    es = _sql_list(X.SPANISH_STOPWORDS)
+    fr = _sql_list(X.FRENCH_STOPWORDS)
+    cjk_neg = "[^" + X.CJK_CLASS[1:]
     o["text_langid"] = (
-        f"WITH t AS (SELECT doc_id, lang, {toks_lower} AS lt FROM documents), "
+        f"WITH t AS (SELECT doc_id, lang, text, {toks_lower} AS lt FROM documents), "
         f"c AS (SELECT doc_id, lang, "
         f"CAST(len(list_filter(lt, x -> list_contains({en}, x))) AS BIGINT) AS en_hits, "
-        f"CAST(len(list_filter(lt, x -> list_contains({de}, x))) AS BIGINT) AS de_hits FROM t) "
-        "SELECT doc_id, en_hits, de_hits, "
-        "CASE WHEN en_hits > de_hits THEN 'en' WHEN de_hits > en_hits THEN 'de' "
-        "ELSE 'unknown' END AS predicted_lang, "
-        "(CASE WHEN en_hits > de_hits THEN 'en' WHEN de_hits > en_hits THEN 'de' "
-        "ELSE 'unknown' END) = lang AS is_correct FROM c"
+        f"CAST(len(list_filter(lt, x -> list_contains({de}, x))) AS BIGINT) AS de_hits, "
+        f"CAST(len(list_filter(lt, x -> list_contains({es}, x))) AS BIGINT) AS es_hits, "
+        f"CAST(len(list_filter(lt, x -> list_contains({fr}, x))) AS BIGINT) AS fr_hits, "
+        f"CAST(length(regexp_replace(text, '{cjk_neg}', '', 'g')) AS BIGINT) AS cjk_chars, "
+        "CAST(length(text) AS BIGINT) AS n_chars FROM t), "
+        "p AS (SELECT *, "
+        "CASE WHEN n_chars > 0 AND cjk_chars * 10 >= n_chars * 3 THEN 'zh' "
+        "WHEN en_hits > 0 AND en_hits >= greatest(de_hits, es_hits, fr_hits) THEN 'en' "
+        "WHEN de_hits > 0 AND de_hits >= greatest(es_hits, fr_hits) THEN 'de' "
+        "WHEN es_hits > 0 AND es_hits >= fr_hits THEN 'es' "
+        "WHEN fr_hits > 0 THEN 'fr' "
+        "ELSE 'unknown' END AS predicted_lang FROM c) "
+        "SELECT doc_id, en_hits, de_hits, es_hits, fr_hits, cjk_chars, "
+        "predicted_lang, predicted_lang = lang AS is_correct FROM p"
     )
 
     o["text_quality"] = (

@@ -27,6 +27,22 @@ GERMAN_STOPWORDS = [
     "für", "mit", "als", "bei", "aus", "dass", "dies", "es", "sind", "ein",
 ]
 
+SPANISH_STOPWORDS = [
+    "el", "la", "los", "las", "un", "una", "y", "o", "de", "en",
+    "es", "que", "por", "con", "para", "del", "se", "su", "al", "como",
+]
+
+FRENCH_STOPWORDS = [
+    "le", "la", "les", "un", "une", "et", "ou", "de", "des", "du",
+    "en", "est", "que", "qui", "pour", "dans", "sur", "au", "avec", "ne",
+]
+
+# CJK Unified Ideographs (the BMP block) — stopword votes are useless
+# for unsegmented text, so Chinese detection is a character-class
+# ratio instead. \uXXXX escapes resolve to literal chars in Python, so
+# the same class string compiles identically under Java regex and RE2.
+CJK_CLASS = "[一-鿿]"
+
 
 def tokens(col) -> Column:
     """Whitespace tokenization of trimmed text."""

@@ -15,16 +15,35 @@ from ..functions import text as X
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Predict en/de/unknown by stopword votes."""
-    en = X.stopword_count(F.col(text_col), X.ENGLISH_STOPWORDS)
-    de = X.stopword_count(F.col(text_col), X.GERMAN_STOPWORDS)
+    """Predict en/de/es/fr/zh/unknown: stopword votes for the
+    space-tokenized languages, a CJK character-class ratio for
+    Chinese (stopword votes are useless on unsegmented text — ≥30%
+    CJK chars wins outright, integer cross-multiplied so no float
+    crosses the engine boundary). Votes tie-break in fixed priority
+    en > de > es > fr (stopword lists legitimately overlap across
+    Romance/Germanic languages — 'de', 'es', 'la' — and the votes
+    absorb it); all-zero votes → unknown. Pure column expressions,
+    zero exchanges."""
+    col = F.col(text_col)
+    en = X.stopword_count(col, X.ENGLISH_STOPWORDS)
+    de = X.stopword_count(col, X.GERMAN_STOPWORDS)
+    es = X.stopword_count(col, X.SPANISH_STOPWORDS)
+    fr = X.stopword_count(col, X.FRENCH_STOPWORDS)
+    n_chars = F.length(col)
+    cjk = F.length(F.regexp_replace(col, "[^" + X.CJK_CLASS[1:], ""))
     pred = (
-        F.when(en > de, F.lit("en"))
-        .when(de > en, F.lit("de"))
+        F.when((n_chars > 0) & (cjk * 10 >= n_chars * 3), F.lit("zh"))
+        .when((en > 0) & (en >= F.greatest(de, es, fr)), F.lit("en"))
+        .when((de > 0) & (de >= F.greatest(es, fr)), F.lit("de"))
+        .when((es > 0) & (es >= fr), F.lit("es"))
+        .when(fr > 0, F.lit("fr"))
         .otherwise(F.lit("unknown"))
     )
-    return docs.withColumn("en_hits", en).withColumn("de_hits", de).withColumn(
-        "predicted_lang", pred
+    return (
+        docs.withColumn("en_hits", en).withColumn("de_hits", de)
+        .withColumn("es_hits", es).withColumn("fr_hits", fr)
+        .withColumn("cjk_chars", cjk.cast("long"))
+        .withColumn("predicted_lang", pred)
     )
 
 

@@ -1712,3 +1712,38 @@ class TestBpeCrossEngineDifferential:
             if got[i] != want:
                 bad.append((repr(t), got[i], want))
         assert not bad, bad[:5]
+
+
+class TestLangIdExtended:
+    def test_five_language_detection_and_ties(self, spark):
+        from gleaner_spark.operators.textops import language_id
+
+        df = spark.createDataFrame(
+            [
+                (0, "the cat is on the mat and it is happy"),
+                (1, "der hund ist bei dem haus und das ist gut"),
+                (2, "el perro es grande y la casa es bonita para su familia"),
+                (3, "le chien est dans la maison et il est pour qui"),
+                (4, "数据 处理 系统 在 大规模 集群 上 运行"),
+                (5, "zzz qqq www"),          # no votes -> unknown
+                (6, ""),                      # empty -> unknown
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in language_id(df).collect()}
+        assert got[0]["predicted_lang"] == "en"
+        assert got[1]["predicted_lang"] == "de"
+        assert got[2]["predicted_lang"] == "es"
+        assert got[3]["predicted_lang"] == "fr"
+        assert got[4]["predicted_lang"] == "zh"
+        assert got[4]["cjk_chars"] > 0
+        assert got[5]["predicted_lang"] == "unknown"
+        assert got[6]["predicted_lang"] == "unknown"
+        # fixed tie priority: a doc hitting en and de equally reads en
+        tie = spark.createDataFrame(
+            [(0, "the der")], "doc_id long, text string"
+        )
+        assert language_id(tie).collect()[0]["predicted_lang"] == "en"
+        # plan stays pure map-side
+        plan = language_id(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan, plan
