@@ -178,10 +178,19 @@ def _corpus_main(argv: list[str]) -> int:
                     help="keep keeper documents whose mean NB "
                          "log-likelihood ratio vs the --nb-seed "
                          "class is at least this (0 = neutral)")
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated language allowlist "
+                         "(en,de,es,fr,zh): keep keepers whose "
+                         "DETECTED language matches (CCNet-style "
+                         "language split)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if (args.nb_seed_path is None) != (args.min_nb is None):
         ap.error("--nb-seed and --min-nb must be given together")
+    langs = (
+        tuple(p.strip() for p in args.langs.split(",") if p.strip())
+        if args.langs else None
+    )
     weights = None
     if args.weights:
         weights = {}
@@ -205,6 +214,7 @@ def _corpus_main(argv: list[str]) -> int:
         n_shards=args.shards, keeper=args.keeper, span_k=args.span_k,
         min_quality=args.min_quality, max_nll=args.max_nll,
         nb_seed_path=args.nb_seed_path, min_nb=args.min_nb,
+        langs=langs,
     )
     print(json.dumps(out))
     return 0

@@ -69,6 +69,7 @@ def build_corpus(
     max_nll: float | None = None,
     nb_seed_docs: DataFrame | None = None,
     min_nb: float | None = None,
+    langs: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """(doc_id, copy, split, seq_id, seq_offset, shard, shard_pos,
     text) for every keeper document. ``clusters`` is the dup_clusters
@@ -97,6 +98,18 @@ def build_corpus(
         F.col("source_name"),
         F.col("jsonld").alias("text"),
     ).join(keepers, "doc_id", "semi")
+    if langs:
+        # CCNet-style language split: keep keepers whose detected
+        # language (textops.language_id — stopword votes + CJK ratio,
+        # pure map-side) is in the allowlist; first in the chain so
+        # no later stage pays for off-language documents
+        from ..operators.textops import language_id
+
+        base = (
+            language_id(base, text_col="text")
+            .filter(F.col("predicted_lang").isin(*langs))
+            .select("doc_id", "source_name", "text")
+        )
     if min_quality is not None:
         # composite q_score in [0,100] (operators/textops.quality_scores
         # — length/stopword/punctuation heuristics); map-side filter,
@@ -240,6 +253,7 @@ def run_corpus_build(
     max_nll: float | None = None,
     nb_seed_path: str | None = None,
     min_nb: float | None = None,
+    langs: tuple[str, ...] | None = None,
 ) -> dict:
     """Build and append the ``corpus`` snapshot. Runs the dedup plan
     first when the lake has no ``dup_clusters`` table yet (one less
@@ -261,7 +275,7 @@ def run_corpus_build(
         weights=weights, token_budget=token_budget,
         budget_tokenizer=budget_tokenizer, n_shards=n_shards,
         span_k=span_k, min_quality=min_quality, max_nll=max_nll,
-        nb_seed_docs=nb_seed_docs, min_nb=min_nb,
+        nb_seed_docs=nb_seed_docs, min_nb=min_nb, langs=langs,
     )
     entry = lake.table("corpus").append(
         split_doc_id(corpus, "doc_id"), run_id=run_id

@@ -342,3 +342,28 @@ class TestCorpusBudgetTokenizer:
         with _pytest.raises(ValueError, match="budget_tokenizer"):
             build_corpus(docs, clusters, token_budget=3,
                          budget_tokenizer="chars")
+
+
+class TestCorpusLangFilter:
+    def test_langs_keeps_detected_languages_only(self, spark):
+        from gleaner_spark.plans.corpus import build_corpus
+
+        docs = spark.createDataFrame(
+            [("s0", "d1", "the cat is on the mat and it is here"),
+             ("s0", "d2", "der hund ist bei dem haus und das ist gut"),
+             ("s0", "d3", "数据 处理 系统 在 集群 上 运行")],
+            "source_name string, unique_id string, jsonld string",
+        )
+        clusters = spark.createDataFrame(
+            [("s0\x1fd1", True), ("s0\x1fd2", True), ("s0\x1fd3", True)],
+            "id string, is_keeper boolean",
+        )
+        def ids(langs):
+            return {
+                r["doc_id"]
+                for r in build_corpus(docs, clusters, capacity=512,
+                                      langs=langs).select("doc_id").collect()
+            }
+        assert ids(("en",)) == {"s0\x1fd1"}
+        assert ids(("en", "zh")) == {"s0\x1fd1", "s0\x1fd3"}
+        assert ids(None) == {"s0\x1fd1", "s0\x1fd2", "s0\x1fd3"}
