@@ -191,6 +191,13 @@ def _corpus_main(argv: list[str]) -> int:
         tuple(p.strip() for p in args.langs.split(",") if p.strip())
         if args.langs else None
     )
+    if langs:
+        valid = {"en", "de", "es", "fr", "zh", "unknown"}
+        bad = [p for p in langs if p not in valid]
+        if bad:
+            # predicted_lang only ever emits these codes — anything
+            # else would silently build an empty corpus
+            ap.error(f"--langs values {bad} not in {sorted(valid)}")
     weights = None
     if args.weights:
         weights = {}
@@ -442,6 +449,8 @@ def _recrawl_main(argv: list[str]) -> int:
     frame (``graph`` output with host_key/rank columns). With
     ``--out`` the schedule lands as parquet; otherwise the top rows
     print as JSON lines. Prints a JSON summary either way."""
+    from pyspark.sql import functions as _F
+
     ap = argparse.ArgumentParser(prog="gleaner_spark recrawl")
     ap.add_argument("--index", default=None,
                     help="per-capture index: parquet dir or CDXJ dir")
@@ -546,14 +555,18 @@ def _recrawl_main(argv: list[str]) -> int:
             )
             pri = boost_by_lastmod(pri, claims_df)
             # known-stale URLs first, then by the estimator; the
-            # boost column tracks whichever priority col was active
+            # boost must track whichever priority col was active —
+            # with --ranks, stale rows rebuild as weighted + boost so
+            # rank ordering survives WITHIN the stale set too
             if pcol == "weighted_priority":
-                from pyspark.sql import functions as _F
                 pri = pri.withColumn(
                     "boosted_priority",
-                    _F.when(_F.col("lastmod_stale"),
-                            _F.col("boosted_priority"))
-                    .otherwise(_F.col("weighted_priority")),
+                    _F.when(
+                        _F.col("lastmod_stale"),
+                        _F.round(
+                            _F.col("weighted_priority") + _F.lit(1.0e12), 6
+                        ),
+                    ).otherwise(_F.col("weighted_priority")),
                 )
             pcol = "boosted_priority"
     # the priority frame feeds three jobs (selection, ETA,
@@ -576,7 +589,6 @@ def _recrawl_main(argv: list[str]) -> int:
         summary["selected"] = sel.count()
         # politeness reality check: the schedule's wall-clock is its
         # worst host's serial lane, not its row count
-        from pyspark.sql import functions as _F
         if args.robots_path:
             from .operators.recrawl import delays_from_robots
 

@@ -255,7 +255,7 @@ def claims_from_sitemaps(sitemap_bodies: dict[str, str]) -> list[tuple[str, int]
     argument as schedule_to_seeds/delays_from_robots."""
     from datetime import datetime, timezone
 
-    from ..core.sitemap import SitemapParseError, parse_sitemap
+    from ..core.sitemap import SitemapParseError, normalize_loc, parse_sitemap
     from .urlindex import surt_key_py
 
     out: list[tuple[str, int]] = []
@@ -274,7 +274,10 @@ def claims_from_sitemaps(sitemap_bodies: dict[str, str]) -> list[tuple[str, int]
                 continue
             if dt.tzinfo is None:
                 dt = dt.replace(tzinfo=timezone.utc)
-            key = surt_key_py(e.loc)
+            # the frontier normalizes every loc (S10) before it is
+            # crawled/indexed — claims must key on the SAME form or a
+            # space/newline-bearing loc would never match its capture
+            key = surt_key_py(normalize_loc(e.loc))
             if key is not None:
                 out.append((key, int(dt.timestamp())))
     return out
@@ -296,7 +299,7 @@ def delays_from_robots(robots_bodies: dict[str, str],
     from .urlindex import surt_key_py
 
     agent = agent or EARTHCUBE_AGENT
-    out: list[tuple[str, float]] = []
+    best: dict[str, float] = {}
     for host, body in robots_bodies.items():
         if not body:
             continue
@@ -305,8 +308,13 @@ def delays_from_robots(robots_bodies: dict[str, str],
             continue
         group = parse_robots_txt(body).find_group(agent)
         if group is not None and group.crawl_delay > 0:
-            out.append((key.split(")")[0], float(group.crawl_delay)))
-    return out
+            hk = key.split(")")[0]
+            # two entries can collapse to one SURT host (www./default
+            # port); keep the max delay — the polite direction — so
+            # the delays frame never carries duplicate keys that
+            # would fan out schedule_eta's join
+            best[hk] = max(best.get(hk, 0.0), float(group.crawl_delay))
+    return sorted(best.items())
 
 
 def schedule_to_seeds(urls: list[str], source_name: str = "recrawl",

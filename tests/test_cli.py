@@ -510,3 +510,50 @@ def test_cli_recrawl_rank_weighted_from_graph_output(spark, tmp_path, capsys):
     picked = json.loads(lines[0])
     # equal change histories: the host-rank tiebreak picks big.org
     assert picked["surt_key"] == "org,big)/x"
+
+
+def test_cli_corpus_langs_validation(tmp_path, capsys):
+    """--langs typos fail at parse time instead of silently building
+    an empty corpus."""
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["corpus", "--lake", str(tmp_path), "--langs", "EN,klingon"])
+    err = capsys.readouterr().err
+    assert "klingon" in err
+
+
+def test_cli_recrawl_ranks_and_sitemaps_compose(spark, tmp_path, capsys):
+    """With --ranks AND --sitemaps, rank weighting survives INSIDE the
+    known-stale set: two stale URLs order by weighted priority, not by
+    the raw estimate."""
+    idx_dir = str(tmp_path / "cidx")
+    ranks_dir = str(tmp_path / "ranks")
+    sm_path = str(tmp_path / "sm.json")
+    # lowrank's raw estimate beats bigrank's (3 changes vs 1), but
+    # bigrank's host rank (0.9 vs 0.1) must win within the stale set
+    spark.createDataFrame(
+        [("org,bigrank)/a", 100, "d1"), ("org,bigrank)/a", 200, "d2"),
+         ("org,lowrank)/b", 100, "d1"), ("org,lowrank)/b", 150, "d2"),
+         ("org,lowrank)/b", 180, "d3"), ("org,lowrank)/b", 200, "d4")],
+        "surt_key string, ts long, digest string",
+    ).write.mode("overwrite").parquet(idx_dir)
+    spark.createDataFrame(
+        [("bigrank.org", 0.9), ("lowrank.org", 0.1)],
+        "host string, rank double",
+    ).write.mode("overwrite").parquet(ranks_dir)
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "  <url><loc>https://bigrank.org/a</loc>"
+        "<lastmod>2024-06-01</lastmod></url>\n"
+        "  <url><loc>https://lowrank.org/b</loc>"
+        "<lastmod>2024-06-01</lastmod></url>\n</urlset>\n"
+    )
+    with open(sm_path, "w") as f:
+        json.dump({"sitemaps": {"sm": xml}}, f)
+    assert main(["recrawl", "--index", idx_dir, "--now", "10000",
+                 "--budget", "1", "--ranks", ranks_dir,
+                 "--sitemaps", sm_path]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[0])["surt_key"] == "org,bigrank)/a"

@@ -466,3 +466,34 @@ class TestLastmodBoost:
         assert got["org,a)/date"] == 1704153600       # 2024-01-02 UTC
         assert got["org,a)/datetime"] == 1704164645
         assert "org,a)/none" not in got and "org,a)/junk" not in got
+
+
+class TestSecondReviewFixes:
+    def test_claims_key_on_normalized_locs(self, spark):
+        """Sitemap locs are S10-normalized before crawling/indexing;
+        claims must key on the same form or a space/newline-bearing
+        loc never matches its capture."""
+        from gleaner_spark.operators.recrawl import claims_from_sitemaps
+
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            "  <url><loc>  https://a.org/my page\n</loc>"
+            "<lastmod>2024-01-02</lastmod></url>\n"
+            "</urlset>\n"
+        )
+        got = dict(claims_from_sitemaps({"sm": xml}))
+        assert list(got) == ["org,a)/mypage"]
+
+    def test_robots_delays_dedupe_collapsed_hosts(self, spark):
+        """www. and bare host collapse to one SURT key: the delays
+        list carries ONE row per key (max delay — the polite
+        direction), so schedule_eta's join never fans out."""
+        from gleaner_spark.operators.recrawl import delays_from_robots
+
+        bodies = {
+            "https://www.x.org": "User-agent: *\nCrawl-delay: 5\n",
+            "https://x.org": "User-agent: *\nCrawl-delay: 2\n",
+        }
+        got = delays_from_robots(bodies)
+        assert got == [("org,x", 5.0)]
