@@ -180,9 +180,9 @@ def _corpus_main(argv: list[str]) -> int:
                          "class is at least this (0 = neutral)")
     ap.add_argument("--langs", default=None,
                     help="comma-separated language allowlist "
-                         "(en,de,es,fr,zh): keep keepers whose "
-                         "DETECTED language matches (CCNet-style "
-                         "language split)")
+                         "(en,de,es,fr,zh,unknown): keep keepers "
+                         "whose DETECTED language matches "
+                         "(CCNet-style language split)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if (args.nb_seed_path is None) != (args.min_nb is None):
@@ -192,12 +192,13 @@ def _corpus_main(argv: list[str]) -> int:
         if args.langs else None
     )
     if langs:
-        valid = {"en", "de", "es", "fr", "zh", "unknown"}
-        bad = [p for p in langs if p not in valid]
+        from .operators.textops import LANG_CODES
+
+        bad = [p for p in langs if p not in LANG_CODES]
         if bad:
             # predicted_lang only ever emits these codes — anything
             # else would silently build an empty corpus
-            ap.error(f"--langs values {bad} not in {sorted(valid)}")
+            ap.error(f"--langs values {bad} not in {sorted(LANG_CODES)}")
     weights = None
     if args.weights:
         weights = {}
@@ -534,10 +535,9 @@ def _recrawl_main(argv: list[str]) -> int:
             # keys on the SURT host (reversed labels) — convert, and
             # strip_ports so ported SURT keys still match their host's
             # rank (graph hosts never carry ports)
-            from pyspark.sql import functions as F
             ranks = ranks.select(
-                F.concat_ws(
-                    ",", F.reverse(F.split(F.col("host"), r"\."))
+                _F.concat_ws(
+                    ",", _F.reverse(_F.split(_F.col("host"), r"\."))
                 ).alias("host_key"),
                 "rank",
             )
@@ -553,21 +553,14 @@ def _recrawl_main(argv: list[str]) -> int:
             claims_df = spark.createDataFrame(
                 claims, "surt_key string, lastmod_ts long"
             )
-            pri = boost_by_lastmod(pri, claims_df)
-            # known-stale URLs first, then by the estimator; the
-            # boost must track whichever priority col was active —
-            # with --ranks, stale rows rebuild as weighted + boost so
-            # rank ordering survives WITHIN the stale set too
-            if pcol == "weighted_priority":
-                pri = pri.withColumn(
-                    "boosted_priority",
-                    _F.when(
-                        _F.col("lastmod_stale"),
-                        _F.round(
-                            _F.col("weighted_priority") + _F.lit(1.0e12), 6
-                        ),
-                    ).otherwise(_F.col("weighted_priority")),
-                )
+            # known-stale URLs first, then by whichever priority col
+            # is active — the boost carries the rank-weighted column
+            # (9-decimal rounding) when --ranks was given, so rank
+            # ordering survives WITHIN the stale set too
+            pri = boost_by_lastmod(
+                pri, claims_df, priority_col=pcol,
+                decimals=9 if pcol == "weighted_priority" else 6,
+            )
             pcol = "boosted_priority"
     # the priority frame feeds three jobs (selection, ETA,
     # known_urls); persist so the index scan + history window run once

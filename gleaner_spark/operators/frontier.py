@@ -244,8 +244,10 @@ def _frontier_entries_df(spark: SparkSession, docs: list[tuple[str, str, int, st
                 start = len(out["url"])
                 lr = 0
                 for u in urls:
-                    # S10: trim + strip internal spaces/newlines
-                    norm = u.loc.replace(" ", "").replace("\n", "")
+                    # S10 via the SHARED normalizer — recrawl claims
+                    # key on the same function, so the two can never
+                    # diverge on what a loc normalizes to
+                    norm = sm.normalize_loc(u.loc)
                     if not norm:
                         continue
                     host = _host_of(norm)

@@ -208,8 +208,9 @@ def select_recrawl(priorities: DataFrame, budget: int,
 
 
 def boost_by_lastmod(priorities: DataFrame, claims: DataFrame,
-                     boost: float = 1.0e12,
-                     decimals: int = 6) -> DataFrame:
+                     boost: float = float(2 ** 21),
+                     decimals: int = 6,
+                     priority_col: str = "priority") -> DataFrame:
     """Fold sitemap ``<lastmod>`` claims into recrawl priorities: a
     URL whose publisher-declared modification time postdates its last
     capture is KNOWN stale — no estimation needed — so it jumps the
@@ -221,13 +222,25 @@ def boost_by_lastmod(priorities: DataFrame, claims: DataFrame,
     claims per key collapse to their max. Output adds
     ``lastmod_stale`` (boolean; NULL-claim keys are false — absence
     of a claim proves nothing) and ``boosted_priority`` =
-    round(priority + boost, decimals) when stale else priority —
-    ``boost`` (default 10^12) dwarfs any estimator value (priority ≤
-    age ≤ now_ts < 10^10 for epoch-second clocks), so feeding
-    ``boosted_priority`` to select_recrawl takes all known-stale URLs
-    first, then fills the remaining budget by estimate. One
-    partial-agg exchange on the claims (tiny: one row per LISTED key)
-    plus a co-partitioned join."""
+    round(priority_col + boost, decimals) when stale else the
+    unboosted value — feeding ``boosted_priority`` to select_recrawl
+    takes all known-stale URLs first, then fills the remaining budget
+    by estimate. ``priority_col`` lets a rank-weighted column carry
+    the boost so ordering WITHIN the stale set stays whatever the
+    caller chose.
+
+    The default boost is 2^21: it must dwarf the priority scale but
+    NOT be so large that adding it quantizes the fraction away — at
+    10^12 the double ulp is ~1.2e-4 and every rounded priority below
+    that collapses to the same boosted value, silently degrading
+    in-stale-set order to the surt_key tiebreak. 2^21 (~2.1e6) keeps
+    ulp at 4.7e-10 (finer than the 9-decimal rank-weighted rounding)
+    while exceeding the default estimator's bound (priority ≤
+    n_captures × now_ts / prior_span_s ≈ 770 × captures for the
+    30-day prior). Callers shrinking ``prior_span_s`` toward seconds
+    must raise ``boost`` to match — the bound scales inversely.
+    One partial-agg exchange on the claims (tiny: one row per LISTED
+    key) plus a co-partitioned join."""
     best = claims.groupBy("surt_key").agg(
         F.max(F.col("lastmod_ts").cast("long")).alias("_lm")
     )
@@ -241,8 +254,10 @@ def boost_by_lastmod(priorities: DataFrame, claims: DataFrame,
             "boosted_priority",
             F.when(
                 F.col("lastmod_stale"),
-                F.round(F.col("priority") + F.lit(float(boost)), decimals),
-            ).otherwise(F.col("priority")),
+                F.round(
+                    F.col(priority_col) + F.lit(float(boost)), decimals
+                ),
+            ).otherwise(F.col(priority_col)),
         )
         .drop("_lm")
     )

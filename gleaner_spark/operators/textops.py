@@ -14,6 +14,12 @@ from pyspark.sql import functions as F
 from ..functions import text as X
 
 
+# every code language_id can emit — the CLI's --langs validation and
+# any future consumer import THIS, so adding a language here can
+# never desynchronize from an allowlist copy elsewhere
+LANG_CODES = ("en", "de", "es", "fr", "zh", "unknown")
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Predict en/de/es/fr/zh/unknown: stopword votes for the
     space-tokenized languages, a CJK character-class ratio for

@@ -440,7 +440,7 @@ class TestLastmodBoost:
         assert got["org,a)/quiet"]["lastmod_stale"] is True
         assert got["org,a)/old"]["lastmod_stale"] is False
         assert got["org,a)/hot"]["lastmod_stale"] is False
-        assert got["org,a)/quiet"]["boosted_priority"] > 1e11
+        assert got["org,a)/quiet"]["boosted_priority"] > 2e6
         assert got["org,a)/old"]["boosted_priority"] \
             == got["org,a)/old"]["priority"]
         top = select_recrawl(boosted, 1, priority_col="boosted_priority") \
@@ -497,3 +497,64 @@ class TestSecondReviewFixes:
         }
         got = delays_from_robots(bodies)
         assert got == [("org,x", 5.0)]
+
+
+class TestBoostPrecision:
+    def test_boost_preserves_tiny_priority_distinctions(self, spark):
+        """The boost magnitude must not quantize ordering inside the
+        stale set: two stale URLs whose priorities differ at the
+        1e-4 scale (routine for rank-weighted values) keep their
+        order through the boost. At the old 1e12 boost the double
+        ulp (~1.2e-4) collapsed both to the same value."""
+        from gleaner_spark.operators.recrawl import boost_by_lastmod
+
+        pri = spark.createDataFrame(
+            [("org,a)/hi", "org,a", 1, 0, 100, 0.000213),
+             ("org,z)/lo", "org,z", 1, 0, 100, 0.000101)],
+            "surt_key string, host_key string, n_captures long, "
+            "n_changes long, last_ts long, priority double",
+        )
+        claims = spark.createDataFrame(
+            [("org,a)/hi", 5000), ("org,z)/lo", 5000)],
+            "surt_key string, lastmod_ts long",
+        )
+        got = {r["surt_key"]: r["boosted_priority"]
+               for r in boost_by_lastmod(pri, claims).collect()}
+        assert got["org,a)/hi"] > got["org,z)/lo"]
+        # surt_key order would have picked org,a anyway — pin the
+        # inverse layout too (hi priority on the LATER-sorting key)
+        pri2 = spark.createDataFrame(
+            [("org,z)/hi", "org,z", 1, 0, 100, 0.000213),
+             ("org,a)/lo", "org,a", 1, 0, 100, 0.000101)],
+            "surt_key string, host_key string, n_captures long, "
+            "n_changes long, last_ts long, priority double",
+        )
+        claims2 = spark.createDataFrame(
+            [("org,z)/hi", 5000), ("org,a)/lo", 5000)],
+            "surt_key string, lastmod_ts long",
+        )
+        top = select_recrawl(
+            boost_by_lastmod(pri2, claims2), 1,
+            priority_col="boosted_priority",
+        ).collect()
+        assert top[0]["surt_key"] == "org,z)/hi"
+
+    def test_priority_col_param_carries_weighted_column(self, spark):
+        """boost_by_lastmod(priority_col=...) boosts the named column
+        — the operator-level form of the --ranks x --sitemaps CLI
+        composition."""
+        from gleaner_spark.operators.recrawl import boost_by_lastmod
+
+        pri = spark.createDataFrame(
+            [("org,a)/x", "org,a", 1, 0, 100, 2.0, 0.2)],
+            "surt_key string, host_key string, n_captures long, "
+            "n_changes long, last_ts long, priority double, "
+            "weighted_priority double",
+        )
+        claims = spark.createDataFrame(
+            [("org,a)/x", 5000)], "surt_key string, lastmod_ts long"
+        )
+        row = boost_by_lastmod(
+            pri, claims, priority_col="weighted_priority", decimals=9
+        ).collect()[0]
+        assert row["boosted_priority"] == round(0.2 + 2 ** 21, 9)
